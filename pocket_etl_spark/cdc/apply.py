@@ -1,0 +1,172 @@
+"""Batch apply: validate → DLQ split → promote tunnel fields → LWW dedupe → MERGE,
+with per-partition lineage and ingest metrics.
+
+This is the compiled "consumer chain" the engine runs once per micro-batch — the
+foreachBatch body of the streaming tail, also callable directly for batch replay.
+Reference lifecycle being re-expressed: extractor → transformer (+error routing,
+TransformerEtlConsumer.java:90-99) → parallel loader with close-time merge commit
+(ParallelLoader.java:130-154 + RedshiftJdbcClient.java:103-148).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pocket_etl_spark.cdc.dedupe import detect_hot_keys, lww_dedupe
+from pocket_etl_spark.cdc.evolution import promote_extras
+from pocket_etl_spark.lake import MergeResult, ParquetLakeTable
+
+VALID_OPS = ("I", "U", "D")
+
+
+@dataclass
+class ApplyResult:
+    merge: MergeResult
+    rows_in: int
+    rows_bad: int
+    rows_applied: int
+    hot_keys: list[tuple] = field(default_factory=list)
+    lineage_path: str | None = None
+    duration_sec: float = 0.0
+
+
+def split_invalid(events: DataFrame, table: ParquetLakeTable) -> tuple[DataFrame, DataFrame]:
+    """Route malformed events to the DLQ, keep the stream going — the reference's
+    recoverable-error channel (LogAsErrorEtlConsumer.java:34-92). Invalid =
+    null key / null lsn / unknown op. Unrecoverable failures are simply raised and
+    abort the query (restart from checkpoint), matching
+    UnrecoverableStreamFailureException semantics."""
+    key_ok = F.lit(True)
+    for k in table.key_cols:
+        key_ok = key_ok & F.col(k).isNotNull()
+    cond = key_ok & F.col(table.lsn_col).isNotNull() & F.col(table.op_col).isin(*VALID_OPS)
+    return events.filter(cond), events.filter(~cond)
+
+
+def write_dlq(bad: DataFrame, dlq_path: str, batch_id: int | None, stage: str = "apply") -> int:
+    n = bad.count()
+    if n == 0:
+        return 0
+    (
+        bad.select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(stage).alias("stage"),
+            F.lit("validation: null key/lsn or bad op").alias("error"),
+            F.to_json(F.struct(*bad.columns)).alias("payload"),
+            F.current_timestamp().alias("ts"),
+        ).write.mode("append").parquet(dlq_path)
+    )
+    return n
+
+
+def apply_batch(
+    events: DataFrame,
+    table: ParquetLakeTable,
+    batch_id: int | None = None,
+    query_id: str = "default",
+    dlq_path: str | None = None,
+    lineage: bool = True,
+    drop_cols: tuple[str, ...] = ("ts", "extras"),
+) -> ApplyResult:
+    """Apply one micro-batch of change events to the lake table, exactly-once."""
+    t0 = time.time()
+    good, bad = split_invalid(events, table)
+    rows_bad = 0
+    if dlq_path is not None:
+        rows_bad = write_dlq(bad, dlq_path, batch_id)
+
+    # Schema evolution: lift tunnel fields (extras map "new_col_*") to columns
+    # before the merge widens the table schema.
+    good = promote_extras(good)
+    payload = good.drop(*[c for c in drop_cols if c in good.columns])
+
+    # Per-batch LWW winners. When lineage is on they are cached — reused by the
+    # merge, the lineage aggregate and the hot-key histogram (one computation,
+    # three consumers); with lineage off we pay zero extra actions.
+    winners = lww_dedupe(payload, table.key_cols, lsn_col=table.lsn_col, op_col=table.op_col)
+    rows_applied, rows_in, hot = -1, -1, []
+    if lineage:
+        winners.persist()
+    try:
+        if lineage:
+            rows_applied = winners.count()
+            rows_in = payload.count()
+            hot = detect_hot_keys(payload, table.key_cols)
+        result = table.merge(winners, batch_id=batch_id, query_id=query_id, deduped=True)
+
+        lineage_path = None
+        if lineage:
+            lineage_path = _write_lineage(
+                table, winners, payload, result, batch_id, query_id, hot, rows_bad
+            )
+    finally:
+        if lineage:
+            winners.unpersist()
+    return ApplyResult(
+        merge=result,
+        rows_in=rows_in,
+        rows_bad=rows_bad,
+        rows_applied=rows_applied,
+        hot_keys=hot,
+        lineage_path=lineage_path,
+        duration_sec=time.time() - t0,
+    )
+
+
+def _write_lineage(
+    table: ParquetLakeTable,
+    winners: DataFrame,
+    payload: DataFrame,
+    result: MergeResult,
+    batch_id: int | None,
+    query_id: str,
+    hot_keys: list[tuple],
+    rows_bad: int,
+) -> str:
+    """Per-partition lineage + ingest metrics (north rule; reference analogue is the
+    hierarchical metrics tree, EtlMetrics.java:25-53). One distributed aggregate per
+    hash bucket: row counts, LSN range, distinct keys — enough to audit which slice
+    of the keyspace each commit touched and to replay-verify any bucket independently."""
+    per_bucket = (
+        winners.withColumn("_bucket", table._bucket_expr())
+        .groupBy("_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(table.lsn_col).alias("min_lsn"),
+            F.max(table.lsn_col).alias("max_lsn"),
+            F.sum(F.when(F.col(table.op_col) == "D", 1).otherwise(0)).alias("deletes"),
+        )
+        .collect()
+    )
+    op_counts = {
+        r[table.op_col]: r["n"]
+        for r in payload.groupBy(table.op_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    doc: dict[str, Any] = {
+        "batch_id": batch_id,
+        "query_id": query_id,
+        "version": result.version,
+        "committed": result.committed,
+        "rows_bad": rows_bad,
+        "op_counts": op_counts,
+        "hot_keys": [list(k) for k in hot_keys],
+        "buckets": [r.asDict() for r in per_bucket],
+        "committed_at": time.time(),
+    }
+    lineage_dir = os.path.join(table.path, "_lineage")
+    os.makedirs(lineage_dir, exist_ok=True)
+    name = f"batch_{batch_id if batch_id is not None else uuid.uuid4().hex[:8]}_{result.version}.json"
+    p = os.path.join(lineage_dir, name)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f)
+    os.replace(tmp, p)
+    return p

@@ -1,0 +1,110 @@
+"""Replay-equivalence: engine final table state == naive pandas LWW oracle,
+compared by (repo, path, commit, lang, sha256(content), lsn) — the BASELINE.json
+invariant. Mirrors the reference's order-insensitive golden assertions
+(functionalTests/SimpleEtlFunctionalTest.java:56-61)."""
+
+import pandas as pd
+
+from pocket_etl_spark.cdc.apply import apply_batch
+from pocket_etl_spark.datagen import content_sha256, gen_change_events, oracle_apply_pandas
+from pocket_etl_spark.lake import ParquetLakeTable
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    pdf["content_sha"] = content_sha256(pdf)
+    pdf = pdf.drop(columns=["content"])
+    return (
+        pdf[["repo", "path", "commit", "lang", "content_sha", "lsn"]]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def assert_state_equals_oracle(table: ParquetLakeTable, events_pdf: pd.DataFrame):
+    got = _normalize(table.read().toPandas())
+    want = _normalize(oracle_apply_pandas(events_pdf))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_single_batch_apply_matches_oracle(spark, tmp_table_path):
+    events = gen_change_events(spark, n_events=3000, n_keys=300, seed=42)
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=8)
+    res = apply_batch(events, table, batch_id=0, lineage=False)
+    assert res.merge.committed
+    assert_state_equals_oracle(table, events.toPandas())
+
+
+def test_multi_batch_replay_matches_oracle(spark, tmp_table_path):
+    """Events split into 4 sequential micro-batches by LSN range — the replayed
+    final state must equal the single-pass oracle over the whole log."""
+    events = gen_change_events(spark, n_events=2000, n_keys=150, seed=7)
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=8)
+    for i in range(4):
+        lo, hi = i * 500 + 1, (i + 1) * 500
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        apply_batch(batch, table, batch_id=i, lineage=False)
+    assert_state_equals_oracle(table, events.toPandas())
+
+
+def test_out_of_order_batches_never_regress(spark, tmp_table_path):
+    """Batches applied out of LSN order (late data): the lsn >= guard means final
+    state still equals the oracle (order-independence is the reference's lateness
+    answer, RedshiftLoadStrategy.java:21-75)."""
+    events = gen_change_events(spark, n_events=3000, n_keys=150, seed=9)
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=8)
+    ranges = [(2001, 3000), (1, 1000), (1001, 2000)]  # shuffled replay order
+    for i, (lo, hi) in enumerate(ranges):
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        apply_batch(batch, table, batch_id=i, lineage=False)
+    assert_state_equals_oracle(table, events.toPandas())
+
+
+def test_double_replay_is_idempotent(spark, tmp_table_path):
+    """Same batch applied twice with the same batch_id → fenced no-op; with a new
+    batch_id → merge guard makes it a semantic no-op. Both leave state identical."""
+    events = gen_change_events(spark, n_events=2000, n_keys=100, seed=5)
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=8)
+    apply_batch(events, table, batch_id=0, lineage=False)
+    v1 = table.current_version()
+    state1 = _normalize(table.read().toPandas())
+
+    fenced = apply_batch(events, table, batch_id=0, lineage=False)
+    assert not fenced.merge.committed and fenced.merge.stats.get("fenced")
+    assert table.current_version() == v1
+
+    apply_batch(events, table, batch_id=1, lineage=False)  # replay under a NEW batch id
+    state2 = _normalize(table.read().toPandas())
+    pd.testing.assert_frame_equal(state1, state2)
+
+
+def test_deletes_remove_rows(spark, tmp_table_path):
+    events = gen_change_events(
+        spark, n_events=2000, n_keys=50, seed=3, insert_pct=10, update_pct=40
+    )  # 50% deletes
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=4)
+    apply_batch(events, table, batch_id=0, lineage=False)
+    assert_state_equals_oracle(table, events.toPandas())
+    pdf = table.read().toPandas()
+    # every surviving row's latest event was not a delete
+    assert (pdf["content"].notna()).all()
+
+
+def test_dlq_routes_invalid_rows(spark, tmp_table_path, tmp_path):
+    from pyspark.sql import functions as F
+
+    events = gen_change_events(spark, n_events=1000, n_keys=50, seed=11)
+    # poison 10% of rows with an invalid op (recoverable → DLQ, stream continues)
+    poisoned = events.withColumn(
+        "op", F.when(F.pmod(F.col("lsn"), F.lit(10)) == 0, F.lit("X")).otherwise(F.col("op"))
+    )
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=4)
+    dlq = str(tmp_path / "dlq")
+    res = apply_batch(poisoned, table, batch_id=0, dlq_path=dlq)
+    assert res.rows_bad == 100
+    dlq_df = spark.read.parquet(dlq)
+    assert dlq_df.count() == 100
+    assert set(dlq_df.columns) == {"batch_id", "stage", "error", "payload", "ts"}
+    # good rows applied: state equals oracle over the non-poisoned events
+    good_pdf = poisoned.filter(F.col("op").isin("I", "U", "D")).toPandas()
+    assert_state_equals_oracle(table, good_pdf)
