@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k of each query vector against the
+  corpus — the correctness baseline. Cross-join shaped: use only when one side
+  is small (queries broadcast). JVM-side higher-order functions, no UDF.
+- ``lsh_topk``: random-hyperplane LSH — corpus and queries are bucketed by the
+  sign pattern of dot products against ``n_planes`` hyperplanes; top-k runs
+  within matching buckets only. The scale path: shuffle is bounded by bucket
+  sizes. Hyperplanes here are taken from the dataset itself (first ``n_planes``
+  vectors) so the whole operator stays deterministic and SQL-mirrorable; a
+  seeded-random-plane variant is a one-line swap.
+
+Recall/scale tradeoff is the standard one (more planes → smaller buckets,
+lower recall per table, union of L tables recovers it); tests measure recall
+against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from pocket_etl_spark.functions import cosine_sim
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine. ``queries`` must be small (it is broadcast)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        cosine_sim(F.col("_qv"), F.col("_cv")).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-pattern LSH bucket per vector: bit i = sign(dot(v, plane_i)).
+    ``planes`` is tiny → broadcast; one narrow pass over the corpus."""
+    p = planes.select(
+        F.col(id_col).alias("_pid"), _as_double(F.col(vec_col)).alias("_pv")
+    )
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_pv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    signed = v.join(F.broadcast(p)).select(
+        id_col,
+        F.col("_pid"),
+        F.when(dot > 0, F.expr("shiftleft(1L, cast(_pid as int))")).otherwise(F.lit(0)).alias("_bit"),
+    )
+    return signed.groupBy(id_col).agg(F.sum("_bit").alias("bucket"))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    cb = hyperplane_buckets(corpus, planes, id_col, vec_col).withColumnRenamed(id_col, "neighbor_id")
+    qb = hyperplane_buckets(queries, planes, id_col, vec_col).withColumnRenamed(id_col, "query_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")).join(
+        cb, "neighbor_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")).join(
+        qb, "query_id"
+    )
+    scored = F.broadcast(q).join(c, "bucket").select(
+        "query_id", "neighbor_id", cosine_sim(F.col("_qv"), F.col("_cv")).alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold). With ``planes``
+    the candidate set is LSH-bucketed (scale path); without, all-pairs within
+    the frame (test scale only — documented O(n²))."""
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    if planes is not None:
+        b = hyperplane_buckets(df, planes, id_col, vec_col)
+        v = v.join(b, id_col)
+        join_cond = (F.col(f"a.bucket") == F.col(f"b.bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_sim(F.col("a._v"), F.col("b._v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )

@@ -1,0 +1,621 @@
+"""Query catalogue: every operator family from SURVEY.md §2 as a (Spark, oracle-SQL)
+pair over the driver's test tables (TESTDATA.md).
+
+Each ``q_*`` function takes (spark, sf_dir) and returns a DataFrame; ``ORACLE_SQL``
+holds the DuckDB-runnable ANSI equivalent with IDENTICAL column aliases (the driver
+hashes values under sorted column names).
+
+Cross-engine exactness rules used throughout (see functions/__init__.py):
+- float aggregations go through decimal casts (exact, order-independent);
+- ratios are int/int divisions in double (bit-identical in any engine);
+- portable hashes derive from md5 (same algorithm everywhere);
+- rankings carry unique tie-break keys.
+
+Scale notes are attached per query: these run at sf0.01 for the oracle gate and
+sf0.1+ for bench, but each plan is chosen to survive 100TB (broadcast hints on dims,
+partial-agg-friendly shapes, no driver-side loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pocket_etl_spark.functions import DEC, cosine_sim, davg, dsum, md5_long
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.1-§2.4): scans, transforms, filters, lookups,
+# unions, aggregations, windows, sort/limit.
+# ---------------------------------------------------------------------------
+
+
+def q_scan_filter_project(spark, sf):
+    """Scan + filter + projection — CsvInputStreamMapper/SqlExtractor analogue
+    (extractor/CsvInputStreamMapper.java:35-94). Predicate & column pruning reach
+    the parquet scan (PushedFilters in .explain)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "2001-01-01") & (F.col("l_discount") > 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+            .cast("double")
+            .alias("net_price"),
+        )
+    )
+
+
+def q_agg_pricing_summary(spark, sf):
+    """Grouped aggregation (TPC-H Q1 shape) — the metrics-tree SUM analogue
+    (EtlMetrics.java:26-39) generalized to full relational agg."""
+    li = t(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_lookup_join_enrich(spark, sf):
+    """Broadcast lookup join — the reference's Lookup/CachingLoaderLookup
+    (lookup/CachingLoaderLookup.java:38-144): build side broadcast, probe side
+    streams. Dims are tiny → two broadcast exchanges, zero shuffles of customer."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal", "avg_acctbal"),
+        )
+    )
+
+
+def q_join_agg_revenue(spark, sf):
+    """Fact-fact shuffle join + aggregation: revenue per order priority.
+    At scale: both sides shuffle on orderkey (co-partition); AQE handles skew."""
+    o = t(spark, sf, "orders")
+    li = t(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_semi_join(spark, sf):
+    """ContainsFilter (transformer/filter/ContainsFilter.java:26-37) = left_semi:
+    customers that have at least one open order, counted per segment."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_anti_join(spark, sf):
+    """ContainsFilter.negate() (FilterFunctionalTest.java:83-88) = left_anti:
+    customers with no urgent orders."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"), davg("c_acctbal", "avg_acctbal"))
+    )
+
+
+def q_union_by_name(spark, sf):
+    """combine() / multi-extractor fan-in (EtlStream.java:98-118,162-181) =
+    UNION ALL by name over heterogeneous schemas; missing columns null-filled."""
+    c = t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    u = c.unionByName(s, allowMissingColumns=True)
+    return u.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("acctbal", "total_acctbal"),
+        F.count("segment").alias("n_with_segment"),
+    )
+
+
+def q_fanout_tokens(spark, sf):
+    """1→N record fan-out (Transformer returning a list,
+    TransformerFanoutTest.java:47-70) = explode: documents → tokens → counts."""
+    d = t(spark, sf, "documents")
+    return (
+        d.select("doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count_distinct(F.col("tok")).alias("n_distinct_tokens"),
+        )
+    )
+
+
+def q_json_extract(spark, sf):
+    """JSONStringMapper (extractor/JSONStringMapper.java:48-87) = get_json_object
+    over the events props column."""
+    e = t(spark, sf, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").alias("k"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("k").alias("n_distinct_k"),
+            F.max(F.col("k").cast("int")).alias("max_k"),
+        )
+    )
+
+
+def q_window_topk_per_group(spark, sf):
+    """Top-3 orders by totalprice per priority — window row_number. Scale note:
+    per-group top-k via window shuffles whole groups; for huge groups prefer the
+    two-phase groupBy/max_by family (see cdc/dedupe.py). Kept as the window-op
+    representative with a unique tie-break key."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_sort_limit(spark, sf):
+    """Global top-10 (TakeOrderedAndProject — no full sort materialized)."""
+    li = t(spark, sf, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+def q_having(spark, sf):
+    """Aggregate + group filter (HAVING)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total_spent"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+def q_time_window_agg(spark, sf):
+    """Event-time tumbling window (streaming §2.6 batch analogue): hourly
+    event-count + exact value sum."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC semantics over the driver's events table (the engine's own fixtures are
+# exercised in tests/; these re-express the same operators SQL-checkably).
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_dedupe(spark, sf):
+    """THE core CDC operator: per-key last-writer-wins (key=user_id, lsn=event_id).
+    groupBy/max_by → map-side partial agg → skew-proof (cdc/dedupe.py)."""
+    e = t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("event_type", "value", "event_id"), F.col("event_id")).alias("_w")
+        )
+        .select(
+            "user_id",
+            F.col("_w.event_type").alias("last_type"),
+            F.col("_w.value").alias("last_value"),
+            F.col("_w.event_id").alias("last_event_id"),
+        )
+    )
+
+
+def q_cdc_apply_upsert(spark, sf):
+    """CDC apply truth table over events: 'error' acts as a delete op, everything
+    else upserts; final state = latest non-deleted row per user
+    (RedshiftLoadStrategy.java:21-75 re-expressed)."""
+    lww = q_cdc_lww_dedupe(spark, sf)
+    return lww.filter(F.col("last_type") != "error")
+
+
+def q_cdc_op_counts(spark, sf):
+    """Ingest-metrics analogue (MetricsLoader.java:84-98): per-op counters +
+    exact value totals — what the engine's lineage rows carry per batch."""
+    e = t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", "total_value"),
+        F.min("event_id").alias("min_lsn"),
+        F.max("event_id").alias("max_lsn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (dedup / similarity / text / multimodal plumbing) —
+# first-class components per the build brief, implemented in operators/*.
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    """Exact dedupe by normalized-text fingerprint (operators/dedup.exact_dedup):
+    one hash-aggregate, map-side combine — the O(n) dedupe baseline."""
+    from pocket_etl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(t(spark, sf, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf):
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.3 (operators/dedup.ngram_jaccard_pairs).
+    Shuffle bounded by shared-shingle pairs, not O(n²)."""
+    from pocket_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.3)
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash(8 perms)+LSH(band=2) candidate pairs — the 10^9-doc near-dup path."""
+    from pocket_etl_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(t(spark, sf, "documents"))
+
+
+def q_dedup_simhash(spark, sf):
+    """16-bit SimHash per document (operators/dedup.simhash)."""
+    from pocket_etl_spark.operators.dedup import simhash
+
+    return simhash(t(spark, sf, "documents"))
+
+
+def q_dedup_embedding(spark, sf):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.45; corpus has no pairs ≥0.95)."""
+    from pocket_etl_spark.operators.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(t(spark, sf, "embeddings"), threshold=0.45)
+
+
+def q_ann_brute_force(spark, sf):
+    """Exact cosine top-3 neighbors for query vectors (vec_id<5) against the rest
+    — the ANN correctness baseline (operators/similarity.brute_force_topk)."""
+    from pocket_etl_spark.operators.similarity import brute_force_topk
+
+    e = t(spark, sf, "embeddings")
+    return brute_force_topk(e.filter("vec_id >= 5"), e.filter("vec_id < 5"), k=3)
+
+
+def q_ann_lsh(spark, sf):
+    """LSH-bucketed approximate top-3 (hyperplanes = first 4 vectors): candidates
+    restricted to the query's sign-pattern bucket — the scale path."""
+    from pocket_etl_spark.operators.similarity import lsh_topk
+
+    e = t(spark, sf, "embeddings")
+    return lsh_topk(
+        e.filter("vec_id >= 9"),
+        e.filter("vec_id between 4 and 8"),
+        e.filter("vec_id < 4"),
+        k=3,
+    )
+
+
+def q_text_quality(spark, sf):
+    """Per-document quality features (operators/text.quality_features)."""
+    from pocket_etl_spark.operators.text import quality_features
+
+    return quality_features(t(spark, sf, "documents"))
+
+
+def q_text_langid(spark, sf):
+    """Heuristic language ID via stopword ratio (operators/text.lang_id)."""
+    from pocket_etl_spark.operators.text import lang_id
+
+    return lang_id(t(spark, sf, "documents"))
+
+
+def q_text_fingerprint(spark, sf):
+    """Normalized md5 fingerprint + 60-bit integer form (operators/text.fingerprint)."""
+    from pocket_etl_spark.operators.text import fingerprint
+
+    return fingerprint(t(spark, sf, "documents"))
+
+
+def q_multimodal_binary_meta(spark, sf):
+    """Binary-column plumbing: text encoded to binary, byte length + digest
+    (operators/multimodal.binary_meta; decode/feature UDFs are tested in
+    tests/test_multimodal.py — no SQL surface for mapInPandas)."""
+    from pocket_etl_spark.operators.multimodal import binary_meta
+
+    return binary_meta(t(spark, sf, "documents"), "doc_id", "text")
+
+
+_SHINGLE_CTE = """
+        toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+               FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS t(i))
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "dedup_exact": """
+        SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
+               MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLE_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.3
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH {_SHINGLE_CTE},
+        hashed AS (SELECT doc_id, j,
+                          ('0x' || substr(md5(j::VARCHAR || '#' || shingle), 1, 15))::BIGINT AS h
+                   FROM sh, UNNEST(generate_series(0, 7)) AS t(j)),
+        sig AS (SELECT doc_id, j, MIN(h) AS minhash FROM hashed GROUP BY doc_id, j),
+        banded AS (SELECT doc_id, (j // 2) AS band,
+                          md5(string_agg(minhash::VARCHAR, ',' ORDER BY j)) AS band_key
+                   FROM sig GROUP BY doc_id, (j // 2))
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    "dedup_simhash": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+        bits AS (SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+                 FROM h, UNNEST(generate_series(0, 15)) AS t(j) GROUP BY doc_id, j)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "dedup_embedding": """
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+    """,
+    "ann_brute_force": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+        scored AS (SELECT query_id, neighbor_id,
+                          list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                   FROM q, c)
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 3
+    """,
+    "ann_lsh": """
+        WITH p AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 4),
+        allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(v, pv) > 0
+                                           THEN (1::BIGINT << pid::INT) ELSE 0 END) AS BIGINT) AS bucket
+              FROM allv, p GROUP BY vec_id),
+        q AS (SELECT a.vec_id AS query_id, a.v AS qv, b.bucket FROM allv a JOIN b USING (vec_id)
+              WHERE a.vec_id BETWEEN 4 AND 8),
+        c AS (SELECT a.vec_id AS neighbor_id, a.v AS cv, b.bucket FROM allv a JOIN b USING (vec_id)
+              WHERE a.vec_id >= 9),
+        scored AS (SELECT query_id, neighbor_id,
+                          list_dot_product(qv, cv) /
+                          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                   FROM q JOIN c USING (bucket))
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 3
+    """,
+    "text_quality": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+                       COUNT(DISTINCT tok) AS n_distinct,
+                       CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','it')
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+                FROM tok GROUP BY doc_id)
+        SELECT d.doc_id, a.n_tokens, length(d.text) AS n_chars_measured,
+               CAST(a.sum_len AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS avg_token_len,
+               CAST(a.n_stop AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS stopword_ratio,
+               CAST(a.n_distinct AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) AS distinct_ratio
+        FROM documents d JOIN agg a USING (doc_id)
+    """,
+    "text_langid": """
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                       CAST(SUM(CASE WHEN tok IN ('the','a','of','to','and','in','is','it')
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+                FROM tok GROUP BY doc_id)
+        SELECT doc_id, n_tokens,
+               (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) >= 0.03 AS is_en,
+               CASE WHEN (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) >= 0.03
+                    THEN 'en' ELSE 'und' END AS predicted_lang
+        FROM agg
+    """,
+    "text_fingerprint": """
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
+               ('0x' || substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')), 1, 15))::BIGINT AS fingerprint_long
+        FROM documents
+    """,
+    "multimodal_binary_meta": """
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+        FROM documents
+    """,
+    "scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                    (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS net_price
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2001-01-01' AND l_discount > 0.05
+    """,
+    "agg_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                        (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "lookup_join_enrich": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "join_agg_revenue": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                        (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "semi_join": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        GROUP BY c_mktsegment
+    """,
+    "anti_join": """
+        SELECT c_mktsegment, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """,
+    "union_by_name": """
+        WITH u AS (
+            SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind, c_mktsegment AS segment FROM customer
+            UNION ALL
+            SELECT s_name, s_acctbal, 'supplier', NULL FROM supplier
+        )
+        SELECT kind, COUNT(*) AS n,
+               CAST(SUM(CAST(acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal,
+               COUNT(segment) AS n_with_segment
+        FROM u GROUP BY kind
+    """,
+    "fanout_tokens": """
+        SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct_tokens
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY source
+    """,
+    "json_extract": """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(DISTINCT json_extract_string(props, '$.k')) AS n_distinct_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "window_topk_per_group": """
+        SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+            FROM orders) WHERE rank <= 3
+    """,
+    "sort_limit": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10
+    """,
+    "having": """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_spent
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+    "time_window_agg": """
+        SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "cdc_lww_dedupe": """
+        SELECT user_id, last_type, last_value, last_event_id FROM (
+            SELECT user_id, event_type AS last_type, value AS last_value, event_id AS last_event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "cdc_apply_upsert": """
+        SELECT user_id, last_type, last_value, last_event_id FROM (
+            SELECT user_id, event_type AS last_type, value AS last_value, event_id AS last_event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events) WHERE rn = 1 AND last_type <> 'error'
+    """,
+    "cdc_op_counts": """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
+               MIN(event_id) AS min_lsn, MAX(event_id) AS max_lsn
+        FROM events GROUP BY event_type
+    """,
+}
+
+QUERIES = {
+    "scan_filter_project": q_scan_filter_project,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "lookup_join_enrich": q_lookup_join_enrich,
+    "join_agg_revenue": q_join_agg_revenue,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "union_by_name": q_union_by_name,
+    "fanout_tokens": q_fanout_tokens,
+    "json_extract": q_json_extract,
+    "window_topk_per_group": q_window_topk_per_group,
+    "sort_limit": q_sort_limit,
+    "having": q_having,
+    "time_window_agg": q_time_window_agg,
+    "cdc_lww_dedupe": q_cdc_lww_dedupe,
+    "cdc_apply_upsert": q_cdc_apply_upsert,
+    "cdc_op_counts": q_cdc_op_counts,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_lsh": q_ann_lsh,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_binary_meta": q_multimodal_binary_meta,
+}
