@@ -1,0 +1,119 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the engine's own CDC replay throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "events_per_sec": <cdc replay rate>}
+
+The N-vs-4N scaling evidence (BASELINE.md protocol) lives in
+tools/bench_scaling.py → BENCH/BASELINE.md; this file is the fast per-round loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pocket_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_agg_revenue",
+    "lookup_join_enrich",
+    "semi_join",
+    "window_topk_per_group",
+    "time_window_agg",
+    "cdc_lww_dedupe",
+    "cdc_apply_upsert",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "ann_brute_force",
+    "multimodal_binary_meta",
+]
+
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
+CDC_KEYS = int(os.environ.get("BENCH_CDC_KEYS", "50000"))
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from pocket_etl_spark.queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        # count() executes the full plan without driver-side row materialization
+        fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_cdc_replay(spark) -> tuple[float, float]:
+    """Engine ingest benchmark: generate a CDC log and replay it through the full
+    apply path (dedupe → merge → commit) in 4 micro-batches."""
+    from pocket_etl_spark.cdc.apply import apply_batch
+    from pocket_etl_spark.datagen import gen_change_events
+    from pocket_etl_spark.lake import ParquetLakeTable
+
+    d = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        events = gen_change_events(
+            spark, CDC_EVENTS, CDC_KEYS, seed=42, content_repeat=2
+        )
+        events.persist()
+        events.count()  # materialize input outside the timed window
+        table = ParquetLakeTable(
+            spark, os.path.join(d, "t"), num_buckets=32
+        )
+        n_batches = 4
+        step = CDC_EVENTS // n_batches
+        t0 = time.time()
+        for i in range(n_batches):
+            lo, hi = i * step + 1, (i + 1) * step
+            apply_batch(
+                events.filter(f"lsn between {lo} and {hi}"),
+                table,
+                batch_id=i,
+                lineage=False,
+            )
+        wall = time.time() - t0
+        events.unpersist()
+        return wall, CDC_EVENTS / wall
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
+    spark.range(1).count()  # JVM warmup outside timings
+
+    times = run_headline(spark, sf_dir)
+    cdc_wall, eps = run_cdc_replay(spark)
+    times["cdc_replay"] = round(cdc_wall, 3)
+
+    out = {
+        "metric": "headline_suite_plus_cdc_replay_wall",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "events_per_sec": round(eps, 1),
+        "cdc_events": CDC_EVENTS,
+        "cores": cores,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

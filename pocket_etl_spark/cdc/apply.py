@@ -20,7 +20,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pocket_etl_spark.cdc.dedupe import detect_hot_keys, lww_dedupe
+from pocket_etl_spark.cdc.dedupe import detect_hot_keys
 from pocket_etl_spark.cdc.evolution import promote_extras
 from pocket_etl_spark.lake import MergeResult, ParquetLakeTable
 
@@ -83,33 +83,37 @@ def apply_batch(
     if dlq_path is not None:
         rows_bad = write_dlq(bad, dlq_path, batch_id)
 
+    # Cache the validated batch: it feeds (a) tunnel-field discovery — a full
+    # batch scan, (b) the merge's conform pass, and (c) lineage aggregates.
+    # Without the cache each consumer re-executes the upstream (stream source /
+    # generator / filter) from scratch.
+    cached = good.persist()
     # Schema evolution: lift tunnel fields (extras map "new_col_*") to columns
     # before the merge widens the table schema.
-    good = promote_extras(good)
+    good = promote_extras(cached)
     payload = good.drop(*[c for c in drop_cols if c in good.columns])
 
-    # Per-batch LWW winners. When lineage is on they are cached — reused by the
-    # merge, the lineage aggregate and the hot-key histogram (one computation,
-    # three consumers); with lineage off we pay zero extra actions.
-    winners = lww_dedupe(payload, table.key_cols, lsn_col=table.lsn_col, op_col=table.op_col)
+    # The batch goes to the merge un-deduped: the lake's union-argmax subsumes
+    # per-batch LWW dedupe in the same hash-aggregate (one shuffle total), so a
+    # separate lww_dedupe pass would only add a redundant shuffle. lww_dedupe
+    # remains the standalone operator for non-merge consumers.
     rows_applied, rows_in, hot = -1, -1, []
-    if lineage:
-        winners.persist()
     try:
         if lineage:
-            rows_applied = winners.count()
             rows_in = payload.count()
+            rows_applied = (
+                payload.select(*table.key_cols).distinct().count()
+            )  # distinct keys touched = merge winners
             hot = detect_hot_keys(payload, table.key_cols)
-        result = table.merge(winners, batch_id=batch_id, query_id=query_id, deduped=True)
+        result = table.merge(payload, batch_id=batch_id, query_id=query_id)
 
         lineage_path = None
         if lineage:
             lineage_path = _write_lineage(
-                table, winners, payload, result, batch_id, query_id, hot, rows_bad
+                table, payload, payload, result, batch_id, query_id, hot, rows_bad
             )
     finally:
-        if lineage:
-            winners.unpersist()
+        cached.unpersist()
     return ApplyResult(
         merge=result,
         rows_in=rows_in,
@@ -133,8 +137,9 @@ def _write_lineage(
 ) -> str:
     """Per-partition lineage + ingest metrics (north rule; reference analogue is the
     hierarchical metrics tree, EtlMetrics.java:25-53). One distributed aggregate per
-    hash bucket: row counts, LSN range, distinct keys — enough to audit which slice
-    of the keyspace each commit touched and to replay-verify any bucket independently."""
+    hash bucket over the batch events: row counts, LSN range, deletes — enough to
+    audit which slice of the keyspace each commit touched and to replay-verify any
+    bucket independently."""
     per_bucket = (
         winners.withColumn("_bucket", table._bucket_expr())
         .groupBy("_bucket")

@@ -191,6 +191,13 @@ class ParquetLakeTable:
           - it replaces the current row iff its lsn >= the row's stored lsn
             (idempotent MERGE guard — replay can never regress state);
           - a winning D removes the row; I/U upsert it.
+
+        Physical plan (one pass, two shuffles): batch LWW-dedupe is NOT run
+        separately — the union-argmax below subsumes it (argmax is associative),
+        so the whole merge is a single hash-aggregate over (current ∪ batch) plus
+        the bucket repartition for the write. ``deduped`` is kept for callers that
+        already paid for a dedupe and want to skip nothing — it only documents
+        intent now.
         """
         cur_version = self.current_version()
         man = self._manifest(cur_version)
@@ -210,14 +217,13 @@ class ParquetLakeTable:
         ]
         new_schema = unify_schemas(table_schema, T.StructType(batch_payload_fields))
 
-        if not deduped:
-            updates = lww_dedupe(
-                updates, self.key_cols, lsn_col=self.lsn_col, op_col=self.op_col
-            )
-
         winners = conform_to(
             updates, new_schema, keep_extra=[self.op_col]
         ).withColumn("_bucket", self._bucket_expr())
+        # NOTE: merge runs two actions over ``updates`` (the touched-bucket probe
+        # and the write). Callers are expected to hand in a cached/cheap frame —
+        # apply_batch caches the validated batch; double-caching here measurably
+        # thrashes the block manager, so merge itself does not persist.
 
         # Bucket pruning: only buckets containing updated keys participate.
         touched = sorted(

@@ -41,16 +41,20 @@ def shingles(
     construction is mirrored exactly by SQL list indexing."""
     toks = F.split(F.col(text_col), " ")
     # guard: Spark's sequence(1, 0) is DESCENDING ([1,0]), not empty — short docs
-    # must yield an empty index array (DuckDB generate_series(1,0) = [])
+    # must yield an empty index array (DuckDB generate_series(1,0) = []).
+    # The shingle array is built with transform() BEFORE the explode so exploded
+    # rows carry one short string each, never the whole token array (exploding
+    # positions first made every row drag a full copy of the array through the
+    # plan — 10× slower at sf0.1).
     n_idx = F.size(toks) - (n - 1)
-    idx = F.explode(
-        F.when(n_idx >= 1, F.sequence(F.lit(1), n_idx)).otherwise(
-            F.array().cast("array<int>")
-        )
-    )
-    out = df.select(F.col(id_col), toks.alias("_toks"), idx.alias("_i"))
-    sh = F.concat_ws(" ", *[F.element_at("_toks", F.col("_i") + j) for j in range(n)])
-    return out.select(id_col, sh.alias("shingle")).distinct()
+    sh_arr = F.when(
+        n_idx >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_idx),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(sh_arr).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
