@@ -21,10 +21,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pocket_etl_spark.cdc.dedupe import detect_hot_keys
-from pocket_etl_spark.cdc.evolution import promote_extras
+from pocket_etl_spark.cdc.evolution import EXTRAS_COL, PROMOTE_PREFIX, promote_extras
 from pocket_etl_spark.lake import MergeResult, ParquetLakeTable
 
 VALID_OPS = ("I", "U", "D")
+
+_DEBUG_TIMING = os.environ.get("SPARK_ETL_TIMING", "") not in ("", "0")
+
+
+def _tick(label: str, t0: float) -> float:
+    """Phase-timing observability (enable with SPARK_ETL_TIMING=1)."""
+    t1 = time.time()
+    if _DEBUG_TIMING:
+        print(f"TIMING {label}={t1 - t0:.2f}s", flush=True)
+    return t1
 
 
 @dataclass
@@ -75,6 +85,7 @@ def apply_batch(
     dlq_path: str | None = None,
     lineage: bool = True,
     drop_cols: tuple[str, ...] = ("ts", "extras"),
+    cache: bool = True,
 ) -> ApplyResult:
     """Apply one micro-batch of change events to the lake table, exactly-once."""
     t0 = time.time()
@@ -87,10 +98,38 @@ def apply_batch(
     # batch scan, (b) the merge's conform pass, and (c) lineage aggregates.
     # Without the cache each consumer re-executes the upstream (stream source /
     # generator / filter) from scratch.
-    cached = good.persist()
+    t1 = _tick("dlq_split", t0)
+
+    # ONE stats pass over the validated batch computes everything the driver
+    # needs before the merge: the set of touched hash buckets (merge reads and
+    # rewrites only those) and the distinct promotable tunnel keys (schema
+    # evolution). It runs BEFORE any caching so column pruning reaches the
+    # source scan — only the key columns and the extras map are read.
+    sel = [table._bucket_expr().alias("_b")]
+    aggs = [F.collect_set("_b").alias("_buckets")]
+    if EXTRAS_COL in good.columns:
+        sel.append(
+            F.filter(
+                F.map_keys(F.col(EXTRAS_COL)), lambda k: k.startswith(PROMOTE_PREFIX)
+            ).alias("_pk")
+        )
+        aggs.append(F.array_distinct(F.flatten(F.collect_set("_pk"))).alias("_promo"))
+    stats = good.select(*sel).agg(*aggs).collect()[0]
+    touched = sorted(stats["_buckets"])
+    promo_keys = sorted(stats["_promo"]) if EXTRAS_COL in good.columns else []
+    t1 = _tick("batch_stats", t1)
+
+    # Cache the validated batch only when the upstream is not cheaply
+    # replayable: the merge reads the payload twice (winner-ord aggregate +
+    # probe side), and a non-deterministic source would diverge between reads.
+    # For file-backed batches (the streaming tail's micro-batches, replay from
+    # a staged WAL) re-reading the pruned parquet scan is cheaper than paying
+    # the columnar cache write of the full batch.
+    cached = good.persist() if cache else good
+
     # Schema evolution: lift tunnel fields (extras map "new_col_*") to columns
     # before the merge widens the table schema.
-    good = promote_extras(cached)
+    good = promote_extras(cached, keys=promo_keys)
     payload = good.drop(*[c for c in drop_cols if c in good.columns])
 
     # The batch goes to the merge un-deduped: the lake's union-argmax subsumes
@@ -105,7 +144,11 @@ def apply_batch(
                 payload.select(*table.key_cols).distinct().count()
             )  # distinct keys touched = merge winners
             hot = detect_hot_keys(payload, table.key_cols)
-        result = table.merge(payload, batch_id=batch_id, query_id=query_id)
+            t1 = _tick("lineage_stats", t1)
+        result = table.merge(
+            payload, batch_id=batch_id, query_id=query_id, touched_buckets=touched
+        )
+        t1 = _tick("merge", t1)
 
         lineage_path = None
         if lineage:
@@ -113,7 +156,8 @@ def apply_batch(
                 table, payload, payload, result, batch_id, query_id, hot, rows_bad
             )
     finally:
-        cached.unpersist()
+        if cache:
+            cached.unpersist()
     return ApplyResult(
         merge=result,
         rows_in=rows_in,

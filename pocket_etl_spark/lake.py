@@ -54,6 +54,16 @@ from pocket_etl_spark.cdc.dedupe import OP_RANK_EXPR, lww_dedupe
 from pocket_etl_spark.cdc.evolution import conform_to, unify_schemas
 from pocket_etl_spark.schema import KEY_COLS, LSN_COL, OP_COL, TABLE_SCHEMA
 
+_DEBUG_TIMING = os.environ.get("SPARK_ETL_TIMING", "") not in ("", "0")
+
+
+def _tick(label: str, t0: float) -> float:
+    t1 = time.time()
+    if _DEBUG_TIMING:
+        print(f"TIMING {label}={t1 - t0:.2f}s", flush=True)
+    return t1
+
+
 _POINTER = "_latest"
 _MANIFESTS = "_manifests"
 _DATA = "data"
@@ -80,6 +90,7 @@ class ParquetLakeTable:
         op_col: str = OP_COL,
         schema: T.StructType | None = None,
         num_buckets: int = 16,
+        argmax_broadcast: bool = True,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -87,6 +98,7 @@ class ParquetLakeTable:
         self.lsn_col = lsn_col
         self.op_col = op_col
         self.num_buckets = num_buckets
+        self.argmax_broadcast = argmax_broadcast
         self._base_schema = schema or TABLE_SCHEMA
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
@@ -182,6 +194,7 @@ class ParquetLakeTable:
         batch_id: int | None = None,
         query_id: str = "default",
         deduped: bool = False,
+        touched_buckets: list[int] | None = None,
     ) -> MergeResult:
         """Keyed LWW MERGE of a change batch into the table.
 
@@ -226,9 +239,16 @@ class ParquetLakeTable:
         # thrashes the block manager, so merge itself does not persist.
 
         # Bucket pruning: only buckets containing updated keys participate.
-        touched = sorted(
-            r[0] for r in winners.select("_bucket").distinct().collect()
-        )
+        # Callers that already computed the batch's bucket set (apply_batch folds
+        # it into its single stats pass) hand it in and skip this probe scan.
+        _t0 = time.time()
+        if touched_buckets is not None:
+            touched = sorted(touched_buckets)
+        else:
+            touched = sorted(
+                r[0] for r in winners.select("_bucket").distinct().collect()
+            )
+            _t0 = _tick("merge.bucket_probe", _t0)
         if not touched:
             # Still advance the watermark so the empty batch is fenced on replay.
             new_man = dict(man)
@@ -263,19 +283,47 @@ class ParquetLakeTable:
         )
         upd_tagged = winners.select(*data_cols, F.col(self.op_col), F.lit(1).alias("_src"))
         combined = cur_tagged.unionByName(upd_tagged)
-        ord_expr = F.struct(
-            F.col(self.lsn_col), OP_RANK_EXPR(self.op_col), F.col("_src")
+
+        # The argmax ordering (lsn, op_rank, src) packs into ONE long:
+        # lsn*8 + op_rank*2 + src (op_rank ∈ 0..3, src ∈ 0..1; lsn < 2^60 by
+        # contract). That turns the per-key argmax into a plain HashAggregate
+        # over (key, long) — whole-stage codegen, map-side partial aggregation
+        # (hot keys collapse before the exchange) — instead of a SortAggregate
+        # dragging the full row payload through the shuffle, which profiling
+        # showed dominated merge time and scaled poorly past 8 threads.
+        keyed = combined.withColumn(
+            "_ord",
+            F.col(self.lsn_col) * 8 + OP_RANK_EXPR(self.op_col) * 2 + F.col("_src"),
         )
-        merged = (
-            combined.groupBy(*self.key_cols)
-            .agg(
-                F.max_by(
-                    F.struct(*[c for c in data_cols if c not in self.key_cols], self.op_col),
-                    ord_expr,
-                ).alias("_w")
+        if self.argmax_broadcast:
+            # Recover winning rows with a broadcast join on (key, ord): the
+            # winner set is one row per touched key — per micro-batch that is
+            # small even at 10^10-event scale (~10^7 winners ≈ tens of MB
+            # broadcast). Requires (lsn, op) unique per key within a batch
+            # (WAL/binlog contract); for batches violating it or winner sets
+            # too big to broadcast, construct with argmax_broadcast=False.
+            winner_ords = keyed.groupBy(*self.key_cols).agg(F.max("_ord").alias("_ord"))
+            merged = keyed.join(
+                F.broadcast(winner_ords), on=[*self.key_cols, "_ord"], how="inner"
+            ).select(*data_cols, self.op_col)
+        else:
+            # One-pass fallback: max_by over the packed ordering. SortAggregate
+            # (struct buffer), but never materializes a winner set on the driver.
+            merged = (
+                keyed.groupBy(*self.key_cols)
+                .agg(
+                    F.max_by(
+                        F.struct(
+                            *[c for c in data_cols if c not in self.key_cols],
+                            self.op_col,
+                        ),
+                        F.col("_ord"),
+                    ).alias("_w")
+                )
+                .select(*self.key_cols, "_w.*")
             )
-            .select(*self.key_cols, "_w.*")
-            .withColumn("_deleted", F.col(self.op_col) == "D")
+        merged = (
+            merged.withColumn("_deleted", F.col(self.op_col) == "D")
             .drop(self.op_col)
             .withColumn("_bucket", self._bucket_expr())
         )
@@ -290,6 +338,7 @@ class ParquetLakeTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
+        _t0 = _tick("merge.agg_write", _t0)
 
         # New manifest: rewritten buckets point at the new snapshot dir; untouched
         # buckets carry forward by reference. A touched bucket that lost all rows

@@ -29,6 +29,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # Shuffle/spill files go to fast local storage: tmpfs in this sandbox (the
+    # rootfs disk collapses under 32 concurrent shuffle writers), local NVMe on a
+    # real cluster (where spark.local.dir comes from the node config).
+    mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+        os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -43,11 +52,23 @@ def get_spark(
         # (north rule: no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
+        # Throughput GC + fully pre-faulted heap. Measured on this box: without
+        # AlwaysPreTouch, young GCs that first-touch fresh heap pages stall for
+        # seconds inside the microVM (on-demand page faulting), producing 10x
+        # outliers on the merge's aggregate shape. ParallelGC beats G1's
+        # concurrent cycles for this pure-throughput, 32-thread single JVM.
+        # On a real cluster these are per-executor JVM flags.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -Xms{mem} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
