@@ -1,0 +1,508 @@
+"""EtlStream — the reference's fluent pipeline API re-expressed over DataFrames.
+
+pocket-etl's user surface is a fluent, immutable builder:
+
+    EtlStream.extract(extractor)
+             .transform(Data.class, t).withThreads(10)
+             .load(Data.class, loader)
+             .run();                      (README.md:14-35, EtlStream.java:33-40)
+
+This module provides the same surface, Spark-first. The stream IS a DataFrame
+lineage: build = logical plan, ``run()`` = action. Parity map (file:line into
+/root/reference):
+
+- extract/multi-extract fan-in    → DataFrame / unionByName
+  (EtlStream.java:147-181, EtlExtractStage.java:67-72)
+- combine()                       → unionByName(allowMissingColumns=True)
+  (EtlStream.java:98-118, EtlCombineStage.java:55-61, README.md:81-99)
+- transform 1→1 / 1→0 / 1→N      → declarative fn(df)->df, Arrow map_rows,
+  explode (Transformer.java:31-61, TransformerEtlConsumer.java:101-107)
+- attribute tunnelling            → transforms overwrite only their declared
+  view columns; all others are carried untouched (EtlStreamObject.java:98-134)
+- FilterTransformer / ContainsFilter(.negate) → filter / broadcast left_semi /
+  left_anti (transformer/FilterTransformer.java:32-66,
+  transformer/filter/ContainsFilter.java:26-37)
+- Lookup                          → broadcast dimension join
+  (lookup/CachingLoaderLookup.java:38-144 — the blocking build-side barrier is
+  exactly Spark's broadcast exchange)
+- load(loader)                    → terminal sink stage; stream is terminated,
+  enforced (EtlLoadStage.java:90-92, EtlStream.java:292-296)
+- withName / withThreads / withObjectLogger → query naming, repartition hint,
+  DLQ payload formatter (EtlConsumerStage.java:58-85)
+- error routing: recoverable per-record failures divert the record to an error
+  channel and the stream continues; unrecoverable aborts
+  (TransformerEtlConsumer.java:90-99, LoaderEtlConsumer.java:72-80,
+  exception/UnrecoverableStreamFailureException.java:27-52,
+  functionalTests/StreamFailureTest.java:50-190)
+- per-stage recordsProcessed metrics → pyspark Observation per stage
+  (MetricsEmissionEtlConsumer.java:44-61, EtlMetrics.java:25-53)
+
+Scale notes: every stage stays declarative (Catalyst sees through the whole
+chain — pushdown/pruning cross stage boundaries); Python transforms are
+Arrow-vectorized ``mapInPandas`` only (never per-row Python); the per-record
+error channel costs nothing on clean batches (vectorized fast path, row-retry
+only inside a failing batch).
+"""
+
+from __future__ import annotations
+
+import traceback
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field, replace
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class UnrecoverableStreamFailure(Exception):
+    """Aborts the whole stream (the reference's
+    UnrecoverableStreamFailureException.java:27-52). Any exception raised from a
+    declarative stage is unrecoverable by construction; inside ``map_rows`` a
+    user fn raises this to abort instead of routing the record to the DLQ."""
+
+
+# ---------------------------------------------------------------------------
+# Filters / lookups
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ContainsFilter:
+    """Membership filter against a lookup dataset — the reference's only join
+    (transformer/filter/ContainsFilter.java:26-37). ``negate()`` flips semi→anti
+    (FilterFunctionalTest.java:83-88). The lookup side is broadcast: the
+    CachingLoaderLookup "block until build side complete" barrier
+    (CachingLoaderLookup.java:130-143) is Spark's broadcast exchange."""
+
+    lookup: DataFrame
+    on: str | list[str]
+    negated: bool = False
+
+    def negate(self) -> "ContainsFilter":
+        return replace(self, negated=not self.negated)
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        keys = [self.on] if isinstance(self.on, str) else list(self.on)
+        how = "left_anti" if self.negated else "left_semi"
+        return df.join(F.broadcast(self.lookup.select(*keys).distinct()), on=keys, how=how)
+
+
+# ---------------------------------------------------------------------------
+# Loaders (sinks)
+# ---------------------------------------------------------------------------
+
+
+class Loader:
+    """Sink contract (Loader.java:28-57): receives the final DataFrame once —
+    'close()' flush semantics are the sink's single commit."""
+
+    def load(self, df: DataFrame, stream: "EtlStream") -> Any:  # pragma: no cover
+        raise NotImplementedError
+
+
+@dataclass
+class BufferLoader(Loader):
+    """Collects rows into a driver-side list — the reference's in-memory test
+    sink (functionalTests/BufferLoader.java:25-45). Test/demo use only; real
+    sinks write distributed."""
+
+    rows: list[dict] = field(default_factory=list)
+
+    def load(self, df: DataFrame, stream: "EtlStream") -> list[dict]:
+        self.rows.extend(r.asDict(recursive=True) for r in df.collect())
+        return self.rows
+
+
+@dataclass
+class ParquetLoader(Loader):
+    """Part-file writer — S3FastLoader + ParallelLoader re-expressed
+    (loader/S3FastLoader.java:62-310, loader/ParallelLoader.java:49-168): Spark
+    tasks are the thread-affine part writers; ``max_records_per_file`` is the
+    128 MiB part-size knob; ``on_close`` runs after all parts commit (the
+    withOnCloseCallback stitch step, ParallelLoader.java:130-154)."""
+
+    path: str
+    mode: str = "append"
+    max_records_per_file: int | None = None
+    partition_by: tuple[str, ...] = ()
+    on_close: Callable[[bool], None] | None = None
+
+    def load(self, df: DataFrame, stream: "EtlStream") -> str:
+        w = df.write.mode(self.mode)
+        if self.max_records_per_file:
+            w = w.option("maxRecordsPerFile", self.max_records_per_file)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(self.path)
+        if self.on_close is not None:
+            self.on_close(True)
+        return self.path
+
+
+@dataclass
+class CsvLoader(Loader):
+    """CSV part files — CsvStringSerializer defaults: ``|`` separator for the
+    Redshift path, header optional, UTC ISO timestamps
+    (loader/CsvStringSerializer.java:36-125)."""
+
+    path: str
+    sep: str = "|"
+    header: bool = False
+    mode: str = "append"
+
+    def load(self, df: DataFrame, stream: "EtlStream") -> str:
+        (
+            df.write.mode(self.mode)
+            .option("sep", self.sep)
+            .option("header", str(self.header).lower())
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+            .csv(self.path)
+        )
+        return self.path
+
+
+@dataclass
+class LakeMergeLoader(Loader):
+    """Keyed upsert sink — RedshiftBulkLoader MERGE / DynamoDbLoader put-item
+    (loader/RedshiftBulkLoader.java:86-375, loader/DynamoDbLoader.java:45-137)
+    re-expressed as the engine's fenced LWW lake merge (lake.py)."""
+
+    table: Any  # ParquetLakeTable | IcebergLakeTable
+    batch_id: int | None = None
+    query_id: str = "default"
+
+    def load(self, df: DataFrame, stream: "EtlStream") -> Any:
+        return self.table.merge(df, batch_id=self.batch_id, query_id=self.query_id)
+
+
+@dataclass
+class MetricsLoader(Loader):
+    """Aggregates numeric columns into counters instead of writing rows —
+    loader/MetricsLoader.java:47-114. One distributed aggregate; results land in
+    RunResult.sink_result."""
+
+    counters: tuple[str, ...] = ()
+
+    def load(self, df: DataFrame, stream: "EtlStream") -> dict[str, int]:
+        cols = self.counters or [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.IntegerType, T.LongType, T.ShortType, T.ByteType))
+        ]
+        if not cols:
+            return {"recordsProcessed": df.count()}
+        row = df.agg(
+            F.count(F.lit(1)).alias("recordsProcessed"),
+            *[F.sum(c).alias(c) for c in cols],
+        ).collect()[0]
+        return {k: (0 if row[k] is None else int(row[k])) for k in row.asDict()}
+
+
+# ---------------------------------------------------------------------------
+# Run result
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RunResult:
+    sink_result: Any
+    metrics: dict[str, dict[str, Any]]
+    dlq: DataFrame | None
+    dlq_count: int
+
+
+# ---------------------------------------------------------------------------
+# The stream
+# ---------------------------------------------------------------------------
+
+_ERR_COL = "_etl_error"
+
+
+@dataclass(frozen=True)
+class _Stage:
+    kind: str  # "transform" | "filter" | "observe"
+    fn: Callable[[DataFrame], DataFrame] | None = None
+    name: str | None = None
+    partitions: int | None = None
+
+
+class EtlStream:
+    """Immutable fluent pipeline (EtlStream.java:33-40; immutability tested by
+    ImmutabilityTest.java:31-80 — every with-er returns a NEW stream, so a
+    prefix can be reused as a component).
+
+    Build with ``EtlStream.extract(...)``, chain ``transform/filter/map_rows``,
+    terminate with ``load(...)``, execute with ``run(spark)``.
+    """
+
+    def __init__(
+        self,
+        sources: tuple[Any, ...],
+        stages: tuple[_Stage, ...] = (),
+        loader: Loader | None = None,
+        name: str = "etl",
+        object_logger: Callable[[dict], str] | None = None,
+        observe_stages: bool = False,
+    ) -> None:
+        self._sources = sources
+        self._stages = stages
+        self._loader = loader
+        self._name = name
+        self._object_logger = object_logger
+        self._observe_stages = observe_stages
+
+    # ---- construction ----
+
+    @classmethod
+    def extract(cls, *sources: Any) -> "EtlStream":
+        """One or more sources; several = parallel fan-in union
+        (EtlStream.java:162-181). A source is a DataFrame or an Extractor from
+        sources/ (anything with ``.to_df(spark)``)."""
+        if not sources:
+            raise ValueError("extract() needs at least one source")
+        return cls(tuple(sources))
+
+    @classmethod
+    def combine(cls, *streams: "EtlStream") -> "EtlStream":
+        """Combine whole streams (EtlStream.java:98-118): all component stages
+        run, results union by name (heterogeneous schemas allowed,
+        README.md:81-99), later stages apply to the combined stream. Components
+        must be unterminated (EtlStream.java:298-300)."""
+        for s in streams:
+            if s._loader is not None:
+                raise ValueError("cannot combine terminated streams")
+        return cls((("__combine__", streams),))
+
+    def _copy(self, **kw: Any) -> "EtlStream":
+        args = dict(
+            sources=self._sources,
+            stages=self._stages,
+            loader=self._loader,
+            name=self._name,
+            object_logger=self._object_logger,
+            observe_stages=self._observe_stages,
+        )
+        args.update(kw)
+        return EtlStream(**args)
+
+    def _check_open(self) -> None:
+        if self._loader is not None:
+            # no stages after a sink (EtlLoadStage.java:90-92)
+            raise ValueError("stream is terminated by a loader")
+
+    def then(self, stage: "EtlStream") -> "EtlStream":
+        """Long-form chaining (README.md:14-21): append another (unterminated)
+        stream's stages to this one."""
+        self._check_open()
+        if stage._loader is not None:
+            return self._copy(stages=self._stages + stage._stages, loader=stage._loader)
+        return self._copy(stages=self._stages + stage._stages)
+
+    def transform(self, fn: Callable[[DataFrame], DataFrame], name: str | None = None) -> "EtlStream":
+        """Declarative stage: fn(df) -> df. The Spark-native shape — Catalyst
+        optimizes across it (Transformer.java:31-61 generalized from row to
+        relation)."""
+        self._check_open()
+        return self._copy(stages=self._stages + (_Stage("transform", fn, name),))
+
+    def map_rows(
+        self,
+        fn: Callable[[pd.DataFrame], pd.DataFrame],
+        adds: dict[str, str] | None = None,
+        drops: tuple[str, ...] = (),
+        name: str | None = None,
+    ) -> "EtlStream":
+        """Arrow-vectorized row transform with attribute tunnelling + per-record
+        error routing.
+
+        ``fn`` receives a pandas batch and returns it with any subset of columns
+        modified; ``adds`` declares new columns (name -> Spark DDL type);
+        ``drops`` removes columns. All other columns tunnel through untouched
+        (EtlStreamObject.java:98-134). 1→N fan-out: return more rows than
+        received (TransformerFanoutTest.java:47-70); 1→0 filter: return fewer.
+
+        Error semantics (StreamFailureTest.java:50-190): if ``fn`` raises for a
+        batch, the engine retries the batch ROW BY ROW; rows whose singleton
+        retry still fails are diverted to the DLQ with the exception text, and
+        the stream continues. Raise UnrecoverableStreamFailure to abort the
+        whole run instead. The vectorized fast path pays zero overhead when no
+        batch fails."""
+        self._check_open()
+
+        def make(df: DataFrame) -> DataFrame:
+            out_fields = [f for f in df.schema.fields if f.name not in drops]
+            schema = T.StructType(out_fields)
+            for col, ddl in (adds or {}).items():
+                schema = schema.add(col, ddl)
+            schema = schema.add(_ERR_COL, T.StringType())
+            out_cols = [f.name for f in schema.fields]
+
+            def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    try:
+                        out = fn(pdf.copy())
+                        out[_ERR_COL] = None
+                    except UnrecoverableStreamFailure:
+                        raise
+                    except Exception:
+                        # vectorized batch failed → per-row retry, routing
+                        # failing rows to the DLQ (recoverable channel)
+                        parts = []
+                        for i in range(len(pdf)):
+                            row = pdf.iloc[i : i + 1].copy()
+                            try:
+                                good = fn(row.copy())
+                                good[_ERR_COL] = None
+                                parts.append(good)
+                            except UnrecoverableStreamFailure:
+                                raise
+                            except Exception:
+                                row[_ERR_COL] = traceback.format_exc(limit=1)
+                                parts.append(row)
+                        out = pd.concat(parts) if parts else pdf.iloc[0:0].copy()
+                    for col in out_cols:
+                        if col not in out.columns:
+                            out[col] = None
+                    yield out[out_cols]
+
+            return df.mapInPandas(run_batches, schema=schema)
+
+        return self._copy(stages=self._stages + (_Stage("transform", make, name, partitions=-1),))
+
+    def filter(self, pred: str | Column | ContainsFilter, name: str | None = None) -> "EtlStream":
+        """FilterTransformer (transformer/FilterTransformer.java:32-66):
+        predicate, or lookup-backed ContainsFilter (semi/anti join)."""
+        self._check_open()
+        if isinstance(pred, ContainsFilter):
+            fn = pred.apply
+        else:
+            fn = lambda df: df.filter(pred)  # noqa: E731
+        return self._copy(stages=self._stages + (_Stage("filter", fn, name),))
+
+    def explode_to_rows(self, col: str, out: str, name: str | None = None) -> "EtlStream":
+        """Declarative 1→N fan-out: one output record per array element
+        (Transformer list return, TransformerEtlConsumer.java:101-107)."""
+        return self.transform(
+            lambda df: df.withColumn(out, F.explode(F.col(col))), name=name
+        )
+
+    def load(self, loader: Loader) -> "EtlStream":
+        """Terminal sink. No stages may follow (EtlStream.java:292-296)."""
+        self._check_open()
+        return self._copy(loader=loader)
+
+    # ---- stage decorators (apply to the LAST added stage / whole stream) ----
+
+    def with_name(self, name: str) -> "EtlStream":
+        """Metrics/log scoping name (EtlProducerStage.java:79-84)."""
+        return self._copy(name=name)
+
+    def with_threads(self, n: int) -> "EtlStream":
+        """Reference: n worker threads for the previous stage
+        (EtlConsumerStage.java:73-85). Spark: a repartition hint before it —
+        parallelism is otherwise free from partitioning."""
+        if not self._stages:
+            raise ValueError("with_threads follows a stage")
+        last = self._stages[-1]
+        return self._copy(stages=self._stages[:-1] + (replace(last, partitions=n),))
+
+    def with_object_logger(self, fmt: Callable[[dict], str]) -> "EtlStream":
+        """Record→string formatter for DLQ payloads (EtlConsumerStage.java:58-63;
+        default strategy DefaultLoggingStrategy.java:27-36 is PII-safe
+        class-name-only — ours defaults to full JSON, override to redact)."""
+        return self._copy(object_logger=fmt)
+
+    def with_stage_metrics(self, enabled: bool = True) -> "EtlStream":
+        """Emit per-stage recordsProcessed counters
+        (MetricsEmissionEtlConsumer.java:44-61) via pyspark Observations."""
+        return self._copy(observe_stages=enabled)
+
+    # ---- compile & run ----
+
+    def to_df(self, spark: SparkSession) -> tuple[DataFrame, list[tuple[str, Observation]]]:
+        """Compile the stage chain to a DataFrame (logical plan). The reference
+        compiles sink-to-source into a consumer graph (EtlStageChain.java:53-69);
+        here Catalyst owns physical planning."""
+        dfs = []
+        for src in self._sources:
+            if isinstance(src, tuple) and src and src[0] == "__combine__":
+                for comp in src[1]:
+                    cdf, _ = comp.to_df(spark)
+                    dfs.append(cdf)
+            elif isinstance(src, DataFrame):
+                dfs.append(src)
+            elif hasattr(src, "to_df"):
+                dfs.append(src.to_df(spark))
+            else:
+                raise TypeError(f"not a source: {src!r}")
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other, allowMissingColumns=True)
+
+        observations: list[tuple[str, Observation]] = []
+        if self._observe_stages:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("recordsProcessed"))
+            observations.append(("extract", obs))
+        for i, st in enumerate(self._stages):
+            if st.partitions and st.partitions > 0:
+                df = df.repartition(st.partitions)
+            df = st.fn(df)
+            if self._observe_stages:
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("recordsProcessed"))
+                observations.append((st.name or f"{st.kind}_{i}", obs))
+        return df, observations
+
+    def run(
+        self,
+        spark: SparkSession,
+        dlq_path: str | None = None,
+    ) -> RunResult:
+        """Execute: compile, split the DLQ channel, drive the sink, collect
+        metrics. The DLQ split happens ONCE at the sink (all map_rows stages
+        tag failing rows in-band), so clean runs stay single-pass."""
+        if self._loader is None:
+            raise ValueError("stream has no loader; terminate with .load(...)")
+        df, observations = self.to_df(spark)
+
+        dlq_df = None
+        dlq_count = 0
+        if _ERR_COL in df.columns:
+            err = df.filter(F.col(_ERR_COL).isNotNull())
+            fmt = self._object_logger
+            payload = (
+                F.to_json(F.struct(*[c for c in df.columns if c != _ERR_COL]))
+                if fmt is None
+                else F.udf(lambda r: fmt(r.asDict()), T.StringType())(
+                    F.struct(*[c for c in df.columns if c != _ERR_COL])
+                )
+            )
+            dlq_df = err.select(
+                F.lit(self._name).alias("stream"),
+                F.col(_ERR_COL).alias("error"),
+                payload.alias("payload"),
+                F.current_timestamp().alias("ts"),
+            )
+            # The DLQ leg re-executes the upstream; real deployments point
+            # dlq_path at storage and the engine persists the split once.
+            clean = df.filter(F.col(_ERR_COL).isNull()).drop(_ERR_COL)
+            if dlq_path is not None:
+                dlq_df.write.mode("append").parquet(dlq_path)
+                dlq_count = spark.read.parquet(dlq_path).count()
+            else:
+                dlq_count = dlq_df.count()
+            df = clean
+
+        sink_result = self._loader.load(df, self)
+        metrics = {name: obs.get for name, obs in observations}
+        return RunResult(sink_result=sink_result, metrics=metrics, dlq=dlq_df, dlq_count=dlq_count)
+
+
+# Convenience aliases mirroring the reference's static factory style
+# (EtlProducerStage.extract / EtlConsumerStage.transform / .load)
+def extract(*sources: Any) -> EtlStream:
+    return EtlStream.extract(*sources)
