@@ -222,6 +222,120 @@ def q_time_window_agg(spark, sf):
     )
 
 
+def q_asof_join(spark, sf):
+    """As-of join — each event paired with the user's latest order at or before
+    the event time. ABSENT in the reference (§2.3); implemented the scalable way:
+    union both sides into one timeline, ONE shuffle on the key, running
+    last-non-null over the ordered partition — no O(n·m) range join, no
+    per-event probe. The tie order (orders sort before events at equal t,
+    higher orderkey wins among same-date orders) is explicit so any engine
+    reproduces it."""
+    e = t(spark, sf, "events").select(
+        "user_id", "event_id", F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("o_key"), F.lit(1).alias("is_event"),
+    )
+    o = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.col("o_orderkey").alias("o_key"), F.lit(0).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", "o_key")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        e.unionByName(o)
+        .withColumn("last_order", F.last("o_key", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("user_id", "event_id", "last_order")
+    )
+
+
+def q_range_join(spark, sf):
+    """Range (non-equi) join: classify lineitems into quantity bands. The band
+    dim is tiny → broadcast nested-loop join, no shuffle of the fact side."""
+    bands = spark.createDataFrame(
+        [(1, 0.0, 10.0, "low"), (2, 10.0, 25.0, "mid"), (3, 25.0, 100.0, "high")],
+        "band_id long, lo double, hi double, band string",
+    )
+    li = t(spark, sf, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "total_price"))
+    )
+
+
+def q_rollup_agg(spark, sf):
+    """Hierarchical subtotal aggregation (ROLLUP region → nation). ABSENT in the
+    reference; its metrics tree (EtlMetrics.java:26-39) is exactly a rollup —
+    child counters summing into parents."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "total_acctbal"))
+    )
+
+
+def q_intersect_nations(spark, sf):
+    """INTERSECT set op: nations that have both customers and suppliers."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_except_nations(spark, sf):
+    """EXCEPT set op: nations with customers but no high-balance supplier."""
+    c = t(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.distinct().subtract(s.distinct())
+
+
+def q_window_lag_gap(spark, sf):
+    """lag() window: average seconds between a user's consecutive events —
+    sessionization's building block."""
+    e = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        e.withColumn("gap", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.sum("gap").alias("total_gap_sec"),
+            F.max("gap").alias("max_gap_sec"),
+        )
+    )
+
+
+def q_text_tokens_regex(spark, sf):
+    """BPE-ish regex tokenizer: letter-runs / digit-runs / single punctuation —
+    the token-counting primitive for training-data pipelines. Portable regex
+    (explicit classes, no \\w) so Spark (Java regex) and the oracle (RE2)
+    tokenize identically."""
+    d = t(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC semantics over the driver's events table (the engine's own fixtures are
 # exercised in tests/; these re-express the same operators SQL-checkably).
@@ -582,6 +696,61 @@ ORACLE_SQL: dict[str, str] = {
                    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
             FROM events) WHERE rn = 1 AND last_type <> 'error'
     """,
+    "asof_join": """
+        WITH tl AS (
+            SELECT user_id, event_id, ts AS t, NULL::BIGINT AS o_key, 1 AS is_event FROM events
+            UNION ALL
+            SELECT o_custkey, NULL::BIGINT, CAST(o_orderdate AS TIMESTAMP), o_orderkey, 0 FROM orders
+        )
+        SELECT user_id, event_id, last_order FROM (
+            SELECT user_id, event_id, is_event,
+                   last_value(o_key IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY t, is_event, o_key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_order
+            FROM tl) WHERE is_event = 1
+    """,
+    "range_join": """
+        WITH bands(band_id, lo, hi, band) AS (
+            VALUES (1, 0.0, 10.0, 'low'), (2, 10.0, 25.0, 'mid'), (3, 25.0, 100.0, 'high')
+        )
+        SELECT band, COUNT(*) AS n,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+        FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        GROUP BY band
+    """,
+    "rollup_agg": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "intersect_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    "except_nations": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+    "window_lag_gap": """
+        SELECT user_id, COUNT(gap) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS total_gap_sec, MAX(gap) AS max_gap_sec
+        FROM (
+            SELECT user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY event_id) AS gap
+            FROM events)
+        GROUP BY user_id
+    """,
+    "text_tokens_regex": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+               len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS n_distinct_tokens
+        FROM documents
+    """,
     "cdc_op_counts": """
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
@@ -604,6 +773,13 @@ QUERIES = {
     "sort_limit": q_sort_limit,
     "having": q_having,
     "time_window_agg": q_time_window_agg,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "rollup_agg": q_rollup_agg,
+    "intersect_nations": q_intersect_nations,
+    "except_nations": q_except_nations,
+    "window_lag_gap": q_window_lag_gap,
+    "text_tokens_regex": q_text_tokens_regex,
     "cdc_lww_dedupe": q_cdc_lww_dedupe,
     "cdc_apply_upsert": q_cdc_apply_upsert,
     "cdc_op_counts": q_cdc_op_counts,
