@@ -1,0 +1,78 @@
+"""Physical-plan audits: the plans we ship are the plans we designed for scale.
+
+Each test pins the plan SHAPE of a catalogue query or engine operator — shuffle
+budget, broadcast usage, pushdown, aggregation strategy — so a regression that
+keeps results correct but wrecks the 100 TB story fails loudly here."""
+
+import pytest
+
+from pocket_etl_spark.plans import assert_filters_pushed, assert_scan_pruned, plan_facts
+from pocket_etl_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_filter_project_pushdown_and_pruning(spark):
+    f = plan_facts(QUERIES["scan_filter_project"](spark, SF))
+    assert_filters_pushed(f)
+    # projection reaches the scan: untouched wide columns never read
+    assert_scan_pruned(f, {"l_comment", "l_shipinstruct", "l_shipmode"})
+    # pure scan+filter+project: NO shuffle at all
+    assert f.exchanges == 0, f.text
+
+
+def test_lookup_join_broadcasts_dims(spark):
+    f = plan_facts(QUERIES["lookup_join_enrich"](spark, SF))
+    # both tiny dims broadcast; the fact side never shuffles for the join
+    assert f.broadcast_joins == 2, f.text
+    assert f.sortmerge_joins == 0, f.text
+    # the only exchange is the final aggregation's
+    assert f.exchanges <= 1, f.text
+
+
+def test_agg_uses_partial_hash_aggregation(spark):
+    f = plan_facts(QUERIES["agg_pricing_summary"](spark, SF))
+    # partial + final hash aggregate around exactly one exchange
+    assert f.hash_aggregates >= 2, f.text
+    assert f.sort_aggregates == 0, f.text
+    assert f.exchanges == 1, f.text
+
+
+def test_semi_and_anti_join_shapes(spark):
+    for name, kind in [("semi_join", "LeftSemi"), ("anti_join", "LeftAnti")]:
+        f = plan_facts(QUERIES[name](spark, SF))
+        assert kind in f.text, f.text
+
+
+def test_range_join_is_broadcast_not_cartesian(spark):
+    f = plan_facts(QUERIES["range_join"](spark, SF))
+    assert f.broadcast_joins >= 1, f.text
+    assert "CartesianProduct" not in f.text, f.text
+
+
+def test_lww_dedupe_single_exchange(spark):
+    """The CDC dedupe is ONE key shuffle with map-side partial aggregation —
+    the skew-absorption property the whole merge design rests on."""
+    from pocket_etl_spark.cdc.dedupe import lww_dedupe
+    from pocket_etl_spark.datagen import gen_change_events
+
+    ev = gen_change_events(spark, 1000, 50, seed=3)
+    f = plan_facts(lww_dedupe(ev, ["repo", "path"]))
+    assert f.exchanges == 1, f.text
+    # partial_max_by before the exchange (any aggregate strategy), final after
+    assert "partial_max_by" in f.text, f.text
+
+
+def test_fanout_explode_no_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    f = plan_facts(df)
+    assert f.exchanges == 0, f.text
+
+
+def test_sort_limit_is_top_k_not_global_sort(spark):
+    f = plan_facts(QUERIES["sort_limit"](spark, SF))
+    assert "TakeOrderedAndProject" in f.text, f.text
