@@ -29,6 +29,9 @@ HEADLINE = [
     "semi_join",
     "window_topk_per_group",
     "time_window_agg",
+    "asof_join",
+    "range_join",
+    "text_tokens_regex",
     "cdc_lww_dedupe",
     "cdc_apply_upsert",
     "dedup_exact",

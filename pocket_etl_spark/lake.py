@@ -90,15 +90,17 @@ class ParquetLakeTable:
         op_col: str = OP_COL,
         schema: T.StructType | None = None,
         num_buckets: int = 16,
-        argmax_broadcast: bool = True,
+        argmax_strategy: str = "shuffle",
     ) -> None:
+        if argmax_strategy not in ("broadcast", "shuffle", "sortagg"):
+            raise ValueError(f"unknown argmax_strategy {argmax_strategy!r}")
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols or KEY_COLS)
         self.lsn_col = lsn_col
         self.op_col = op_col
         self.num_buckets = num_buckets
-        self.argmax_broadcast = argmax_broadcast
+        self.argmax_strategy = argmax_strategy
         self._base_schema = schema or TABLE_SCHEMA
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
@@ -295,16 +297,25 @@ class ParquetLakeTable:
             "_ord",
             F.col(self.lsn_col) * 8 + OP_RANK_EXPR(self.op_col) * 2 + F.col("_src"),
         )
-        if self.argmax_broadcast:
-            # Recover winning rows with a broadcast join on (key, ord): the
-            # winner set is one row per touched key — per micro-batch that is
-            # small even at 10^10-event scale (~10^7 winners ≈ tens of MB
-            # broadcast). Requires (lsn, op) unique per key within a batch
-            # (WAL/binlog contract); for batches violating it or winner sets
-            # too big to broadcast, construct with argmax_broadcast=False.
+        if self.argmax_strategy in ("shuffle", "broadcast"):
+            # Recover winning rows with a join on (key, ord). Strategy choice:
+            # - "shuffle" (default): shuffled hash join — both the tiny winner
+            #   set and the payload hash-partition on the key; fully parallel,
+            #   zero driver-side work, so throughput scales with cores
+            #   (broadcast was measured to cost ~6-10 s/batch of serial driver
+            #   collect+rebroadcast, flattening N→4N scaling).
+            # - "broadcast": best absolute latency when the winner set is small
+            #   and parallelism is high; driver materializes the winner set.
+            # Both require (lsn, op) unique per key within a batch (WAL/binlog
+            # contract); otherwise use "sortagg".
             winner_ords = keyed.groupBy(*self.key_cols).agg(F.max("_ord").alias("_ord"))
+            right = (
+                F.broadcast(winner_ords)
+                if self.argmax_strategy == "broadcast"
+                else winner_ords.hint("shuffle_hash")
+            )
             merged = keyed.join(
-                F.broadcast(winner_ords), on=[*self.key_cols, "_ord"], how="inner"
+                right, on=[*self.key_cols, "_ord"], how="inner"
             ).select(*data_cols, self.op_col)
         else:
             # One-pass fallback: max_by over the packed ordering. SortAggregate

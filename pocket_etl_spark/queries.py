@@ -322,6 +322,15 @@ def q_window_lag_gap(spark, sf):
     )
 
 
+def q_sessionize(spark, sf):
+    """Gap-based sessionization (30-min gap) — the stateful-streaming operator's
+    batch twin (streaming/sessionize.py). One key shuffle shared by both window
+    passes, then a hash aggregate."""
+    from pocket_etl_spark.streaming.sessionize import sessionize_batch
+
+    return sessionize_batch(t(spark, sf, "events"), gap_sec=1800)
+
+
 def q_text_tokens_regex(spark, sf):
     """BPE-ish regex tokenizer: letter-runs / digit-runs / single punctuation —
     the token-counting primitive for training-data pipelines. Portable regex
@@ -745,6 +754,27 @@ ORACLE_SQL: dict[str, str] = {
             FROM events)
         GROUP BY user_id
     """,
+    "sessionize": """
+        WITH e AS (
+            SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep, ts FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ep, ts, event_id,
+                   CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ep,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id, MIN(ep) AS session_start, MAX(ep) AS session_end,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """,
     "text_tokens_regex": """
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
@@ -780,6 +810,7 @@ QUERIES = {
     "except_nations": q_except_nations,
     "window_lag_gap": q_window_lag_gap,
     "text_tokens_regex": q_text_tokens_regex,
+    "sessionize": q_sessionize,
     "cdc_lww_dedupe": q_cdc_lww_dedupe,
     "cdc_apply_upsert": q_cdc_apply_upsert,
     "cdc_op_counts": q_cdc_op_counts,

@@ -108,3 +108,15 @@ def test_dlq_routes_invalid_rows(spark, tmp_table_path, tmp_path):
     # good rows applied: state equals oracle over the non-poisoned events
     good_pdf = poisoned.filter(F.col("op").isin("I", "U", "D")).toPandas()
     assert_state_equals_oracle(table, good_pdf)
+
+
+def test_sortagg_fallback_matches_oracle(spark, tmp_table_path):
+    """argmax_strategy="sortagg" (the max_by fallback for winner sets too large to
+    broadcast) must produce the exact same table state as the broadcast path."""
+    events = gen_change_events(spark, n_events=3000, n_keys=300, seed=21)
+    table = ParquetLakeTable(
+        spark, tmp_table_path, num_buckets=8, argmax_strategy="sortagg"
+    )
+    for i, (lo, hi) in enumerate([(1, 1500), (1501, 3000)]):
+        apply_batch(events.filter(f"lsn between {lo} and {hi}"), table, batch_id=i, lineage=False)
+    assert_state_equals_oracle(table, events.toPandas())

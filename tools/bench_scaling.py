@@ -74,27 +74,43 @@ def worker(cores: int, hot: float) -> None:
         # table JIT-compiles the whole merge pipeline (codegen, parquet writers,
         # shuffle path) before the timer starts — a fixed single-JVM cost that a
         # long-running cluster tail pays once, not per batch.
-        warm = ParquetLakeTable(spark, os.path.join(d, "warm"), num_buckets=32)
+        warm = ParquetLakeTable(
+            spark, os.path.join(d, "warm"), num_buckets=32,
+            argmax_strategy=os.environ.get("SCALING_ARGMAX", "shuffle"),
+        )
         apply_batch(events.filter("lsn <= 200000"), warm, batch_id=0, lineage=False)
 
         # num_buckets constant across parallelism levels → identical output layout,
-        # so the two runs do byte-for-byte the same logical work.
-        table = ParquetLakeTable(spark, os.path.join(d, "t"), num_buckets=32)
+        # so the two runs do byte-for-byte the same logical work. The replay is
+        # repeated and the BEST wall taken: the host has noisy neighbors
+        # (observed up to 19% CPU steal), and the fastest of R identical runs is
+        # the closest estimate of true machine capability at each level.
+        strategy = os.environ.get("SCALING_ARGMAX", "shuffle")
+        repeats = int(os.environ.get("SCALING_REPEATS", "2"))
         step = N_EVENTS // N_BATCHES
-        t0 = time.time()
-        for i in range(N_BATCHES):
-            lo, hi = i * step + 1, (i + 1) * step
-            apply_batch(
-                events.filter(f"lsn between {lo} and {hi}"), table,
-                batch_id=i, lineage=False,
+        walls = []
+        for r in range(repeats):
+            table = ParquetLakeTable(
+                spark, os.path.join(d, f"t{r}"), num_buckets=32, argmax_strategy=strategy
             )
-        wall = time.time() - t0
-        final_rows = table.read().count()
+            t0 = time.time()
+            for i in range(N_BATCHES):
+                lo, hi = i * step + 1, (i + 1) * step
+                apply_batch(
+                    events.filter(f"lsn between {lo} and {hi}"), table,
+                    batch_id=i, lineage=False,
+                )
+            walls.append(time.time() - t0)
+            final_rows = table.read().count()
+            version = table.current_version()
+            shutil.rmtree(os.path.join(d, f"t{r}"), ignore_errors=True)
+        wall = min(walls)
         print("RESULT " + json.dumps({
             "cores": cores, "hot_key_fraction": hot, "events": N_EVENTS,
             "keys": N_KEYS, "batches": N_BATCHES, "replay_wall_sec": round(wall, 2),
+            "all_walls_sec": [round(w, 2) for w in walls],
             "events_per_sec": round(N_EVENTS / wall, 1),
-            "final_rows": final_rows, "table_version": table.current_version(),
+            "final_rows": final_rows, "table_version": version,
         }))
     finally:
         shutil.rmtree(d, ignore_errors=True)
