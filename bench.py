@@ -42,8 +42,8 @@ HEADLINE = [
     "multimodal_binary_meta",
 ]
 
-CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "1000000"))
-CDC_KEYS = int(os.environ.get("BENCH_CDC_KEYS", "50000"))
+CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
+CDC_KEYS = int(os.environ.get("BENCH_CDC_KEYS", "200000"))
 
 
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
@@ -66,16 +66,18 @@ def run_cdc_replay(spark) -> tuple[float, float]:
     from pocket_etl_spark.datagen import gen_change_events
     from pocket_etl_spark.lake import ParquetLakeTable
 
-    d = tempfile.mkdtemp(prefix="bench_cdc_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="bench_cdc_", dir=base)
     try:
-        events = gen_change_events(
-            spark, CDC_EVENTS, CDC_KEYS, seed=42, content_repeat=2
-        )
-        events.persist()
-        events.count()  # materialize input outside the timed window
-        table = ParquetLakeTable(
-            spark, os.path.join(d, "t"), num_buckets=32
-        )
+        # Same steady-state protocol as tools/bench_scaling.py: stage the WAL to
+        # local parquet and JIT-warm the merge pipeline outside the timed window.
+        wal = os.path.join(d, "wal")
+        gen_change_events(spark, CDC_EVENTS, CDC_KEYS, seed=42, content_repeat=2).write.parquet(wal)
+        events = spark.read.parquet(wal)
+        warm = ParquetLakeTable(spark, os.path.join(d, "warm"), num_buckets=32)
+        apply_batch(events.filter("lsn <= 100000"), warm, batch_id=0, lineage=False)
+
+        table = ParquetLakeTable(spark, os.path.join(d, "t"), num_buckets=32)
         n_batches = 4
         step = CDC_EVENTS // n_batches
         t0 = time.time()
@@ -88,7 +90,6 @@ def run_cdc_replay(spark) -> tuple[float, float]:
                 lineage=False,
             )
         wall = time.time() - t0
-        events.unpersist()
         return wall, CDC_EVENTS / wall
     finally:
         shutil.rmtree(d, ignore_errors=True)
