@@ -1,0 +1,100 @@
+"""Lake-table semantics: CLOBBER overwrite, time travel, vacuum, tombstones,
+and the shared MERGE INTO statement builder."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from pocket_etl_spark.datagen import gen_change_events
+from pocket_etl_spark.lake import ParquetLakeTable, merge_into_sql
+
+
+def _events(spark, n=1000, keys=60, seed=5, **kw):
+    return gen_change_events(spark, n_events=n, n_keys=keys, seed=seed, **kw)
+
+
+def test_overwrite_clobbers_existing_data(spark, tmp_table_path):
+    """CLOBBER strategy (RedshiftJdbcClient.deleteAndCopy:162-198): a full
+    refresh replaces all rows regardless of LSN history."""
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=4)
+    table.merge(_events(spark).drop("ts", "extras"), batch_id=0)
+    # CLOBBER copies the staged rows verbatim (deleteAndCopy) — stage the
+    # already-deduped final state, exactly like the reference's bulk loader.
+    from pocket_etl_spark.cdc.dedupe import lww_dedupe
+
+    fresh = lww_dedupe(
+        _events(spark, n=100, keys=10, seed=9).drop("ts", "extras"),
+        ["repo", "path"],
+    ).filter("op <> 'D'")
+    table.overwrite(fresh)
+    got = table.read()
+    assert got.count() == fresh.count()
+    # clobber is a new snapshot, not a reset: history remains time-travelable
+    assert table.current_version() == 2
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_table_path):
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=4)
+    ev = _events(spark).drop("ts", "extras")
+    table.merge(ev.filter("lsn <= 500"), batch_id=0)
+    v1_rows = table.read().count()
+    table.merge(ev.filter("lsn > 500"), batch_id=1)
+    assert table.current_version() == 2
+    assert table.read(version=1).count() == v1_rows
+    assert table.read().count() != v1_rows or table.read(version=1).collect() != table.read().collect()
+
+
+def test_vacuum_drops_unreachable_versions(spark, tmp_table_path):
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=2)
+    ev = _events(spark, n=600, keys=30).drop("ts", "extras")
+    for i, (lo, hi) in enumerate([(1, 200), (201, 400), (401, 600)]):
+        table.merge(ev.filter(f"lsn between {lo} and {hi}"), batch_id=i)
+    data_root = os.path.join(tmp_table_path, "data")
+    before = len(os.listdir(data_root))
+    removed = table.vacuum(keep_versions=1)
+    assert removed > 0 and len(os.listdir(data_root)) == before - removed
+    # the current snapshot still reads fine after vacuum
+    assert table.read().count() > 0
+
+
+def test_tombstone_blocks_late_lower_lsn(spark, tmp_table_path):
+    """A delete's tombstone (kept with the delete's LSN) must prevent a
+    late-arriving LOWER-LSN update from resurrecting the key — the streaming
+    refinement of delete-then-insert (RedshiftLoadStrategy.java:21-75)."""
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=2)
+    rows = [
+        {"lsn": 10, "op": "I", "repo": "r", "path": "p", "commit": "c1", "lang": "py", "content": "v1"},
+        {"lsn": 30, "op": "D", "repo": "r", "path": "p", "commit": None, "lang": None, "content": None},
+    ]
+    schema = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+    table.merge(spark.createDataFrame(rows, schema), batch_id=0)
+    assert table.read().count() == 0
+    late = [{"lsn": 20, "op": "U", "repo": "r", "path": "p", "commit": "c2", "lang": "py", "content": "v2"}]
+    table.merge(spark.createDataFrame(late, schema), batch_id=1)
+    assert table.read().count() == 0  # lsn 20 < tombstone lsn 30 → stays dead
+    revive = [{"lsn": 40, "op": "I", "repo": "r", "path": "p", "commit": "c3", "lang": "py", "content": "v3"}]
+    table.merge(spark.createDataFrame(revive, schema), batch_id=2)
+    got = table.read().collect()
+    assert len(got) == 1 and got[0]["content"] == "v3"
+
+
+def test_merge_into_sql_shape():
+    sql = merge_into_sql("t", "s_view", ["repo", "path"], ["repo", "path", "lsn", "content"])
+    assert "MERGE INTO t t USING s_view s" in sql
+    assert "t.repo = s.repo AND t.path = s.path" in sql
+    # idempotent replay guard + delete arm + insert arm
+    assert "s.lsn >= t.lsn THEN DELETE" in sql
+    assert "s.lsn >= t.lsn THEN UPDATE" in sql
+    assert "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT" in sql
+
+
+def test_bucket_pruning_rewrites_only_touched(spark, tmp_table_path):
+    """A batch touching one key rewrites only that key's bucket — the
+    copy-on-write bound that keeps write amplification O(batch), not O(table)."""
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=8)
+    table.merge(_events(spark).drop("ts", "extras"), batch_id=0)
+    one = [{"lsn": 99999, "op": "U", "repo": "org/repo-00000",
+            "path": "src/module_0/file_00000.py", "commit": "x", "lang": "py", "content": "new"}]
+    schema = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+    res = table.merge(spark.createDataFrame(one, schema), batch_id=1)
+    assert len(res.touched_buckets) == 1
