@@ -106,6 +106,77 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: each vector maps to its ``n_probe`` nearest
+    centroids by cosine (1 for corpus indexing, >1 for query probing).
+
+    Centroids are a tiny frame → broadcast; the corpus makes ONE narrow pass
+    (no shuffle of the vectors themselves — only (id, cell) pairs move).
+    Deterministic tie-break (cos desc, centroid id asc) keeps the index
+    reproducible across engines and cluster sizes. At 10^9 vectors the cell
+    column becomes the partition key for cell-local files — probes then touch
+    only n_probe partitions (classic IVF pruning)."""
+    c = centroids.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    scored = v.join(F.broadcast(c)).select(
+        id_col, "_cid", cosine_sim(F.col("_v"), F.col("_cv")).alias("_cos")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("_cid"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select(id_col, F.col("_cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score each query only against corpus vectors
+    whose cell is among the query's ``n_probe`` nearest centroids — the
+    coarse-quantizer pruning of FAISS-style IVF, in pure DataFrame ops."""
+    cells = ivf_assign(corpus, centroids, 1, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    probes = ivf_assign(queries, centroids, n_probe, id_col, vec_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+    ).join(cells, "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+    ).join(probes, "query_id")
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .select(
+            "query_id", "neighbor_id", cosine_sim(F.col("_qv"), F.col("_cv")).alias("_cos")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])  # same neighbor via 2 probes
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -369,6 +369,20 @@ def q_cdc_lww_dedupe(spark, sf):
     )
 
 
+def q_cdc_lww_salted(spark, sf):
+    """The explicit two-phase SALTED dedupe (cdc/dedupe.lww_dedupe_salted,
+    SURVEY.md §4.2.2) — must produce byte-identical winners to the plain
+    hash-aggregate form; registered separately so the skew path itself is
+    oracle-checked. event_type plays the op role (no I/U/D → rank 0 for all;
+    unique event_id makes the argmax deterministic)."""
+    from pocket_etl_spark.cdc.dedupe import lww_dedupe_salted
+
+    e = t(spark, sf, "events").select("user_id", "event_type", "value", "event_id")
+    return lww_dedupe_salted(
+        e, ["user_id"], lsn_col="event_id", op_col="event_type", num_salts=8
+    )
+
+
 def q_cdc_apply_upsert(spark, sf):
     """CDC apply truth table over events: 'error' acts as a delete op, everything
     else upserts; final state = latest non-deleted row per user
@@ -452,6 +466,22 @@ def q_ann_lsh(spark, sf):
         e.filter("vec_id between 4 and 8"),
         e.filter("vec_id < 4"),
         k=3,
+    )
+
+
+def q_ann_ivf(spark, sf):
+    """IVF (coarse-quantizer) approximate top-3: corpus vectors indexed into
+    cells by nearest centroid (vec_id<4 as centroids), queries probe their 2
+    nearest cells (operators/similarity.ivf_topk) — the FAISS-IVF scale path."""
+    from pocket_etl_spark.operators.similarity import ivf_topk
+
+    e = t(spark, sf, "embeddings")
+    return ivf_topk(
+        e.filter("vec_id >= 9"),
+        e.filter("vec_id between 4 and 8"),
+        e.filter("vec_id < 4"),
+        k=3,
+        n_probe=2,
     )
 
 
@@ -563,6 +593,33 @@ ORACLE_SQL: dict[str, str] = {
                           list_dot_product(qv, cv) /
                           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
                    FROM q JOIN c USING (bucket))
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 3
+    """,
+    "ann_ivf": """
+        WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cos_c AS (SELECT a.vec_id, cid,
+                         list_dot_product(v, cv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos
+                  FROM allv a, cent),
+        cells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+                      SELECT vec_id, cid,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                      FROM cos_c WHERE vec_id >= 9) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+                      SELECT vec_id, cid,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                      FROM cos_c WHERE vec_id BETWEEN 4 AND 8) WHERE rn <= 2),
+        cand AS (SELECT DISTINCT query_id, neighbor_id
+                 FROM probes JOIN cells USING (cell)),
+        scored AS (SELECT query_id, neighbor_id,
+                          list_dot_product(q.v, c.v) /
+                          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+                   FROM cand JOIN allv q ON q.vec_id = query_id
+                             JOIN allv c ON c.vec_id = neighbor_id)
         SELECT query_id, rank, neighbor_id FROM (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
@@ -699,6 +756,12 @@ ORACLE_SQL: dict[str, str] = {
                    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
             FROM events) WHERE rn = 1
     """,
+    "cdc_lww_salted": """
+        SELECT user_id, event_type, value, event_id FROM (
+            SELECT user_id, event_type, value, event_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
     "cdc_apply_upsert": """
         SELECT user_id, last_type, last_value, last_event_id FROM (
             SELECT user_id, event_type AS last_type, value AS last_value, event_id AS last_event_id,
@@ -812,6 +875,7 @@ QUERIES = {
     "text_tokens_regex": q_text_tokens_regex,
     "sessionize": q_sessionize,
     "cdc_lww_dedupe": q_cdc_lww_dedupe,
+    "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_apply_upsert": q_cdc_apply_upsert,
     "cdc_op_counts": q_cdc_op_counts,
     "dedup_exact": q_dedup_exact,
@@ -821,6 +885,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,

@@ -1,0 +1,98 @@
+"""Schema evolution: widen lattice, schema unification, tunnel-field promotion,
+and end-to-end add/widen through the merge (SURVEY.md §4.2.4, §5)."""
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pocket_etl_spark.cdc.apply import apply_batch
+from pocket_etl_spark.cdc.evolution import conform_to, promote_extras, unify_schemas
+from pocket_etl_spark.datagen import gen_change_events, with_schema_evolution
+from pocket_etl_spark.lake import ParquetLakeTable
+from pocket_etl_spark.schema import widen
+
+
+def test_widen_lattice():
+    assert widen(T.IntegerType(), T.LongType()) == T.LongType()
+    assert widen(T.LongType(), T.DoubleType()) == T.DoubleType()
+    assert widen(T.ByteType(), T.ShortType()) == T.ShortType()
+    assert widen(T.FloatType(), T.DoubleType()) == T.DoubleType()
+    # outside the numeric lattice → string fallback
+    assert widen(T.LongType(), T.StringType()) == T.StringType()
+    assert widen(T.BooleanType(), T.IntegerType()) == T.StringType()
+    # date/timestamp unify to timestamp
+    assert widen(T.DateType(), T.TimestampType()) == T.TimestampType()
+    assert widen(T.DoubleType(), T.DoubleType()) == T.DoubleType()
+
+
+def test_unify_schemas_add_and_widen():
+    table = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    batch = T.StructType(
+        [T.StructField("v", T.LongType()), T.StructField("extra", T.DoubleType())]
+    )
+    out = unify_schemas(table, batch)
+    names = [f.name for f in out.fields]
+    assert names == ["k", "v", "extra"]  # table order first, additions appended
+    assert out["v"].dataType == T.LongType()  # widened
+    assert out["extra"].dataType == T.DoubleType()  # added
+
+
+def test_conform_fills_missing_and_casts(spark):
+    df = spark.createDataFrame([{"k": "a", "v": 1}])
+    target = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("w", T.DoubleType()),
+        ]
+    )
+    row = conform_to(df, target).collect()[0]
+    assert row["v"] == 1 and row["w"] is None
+    assert conform_to(df, target).schema["v"].dataType == T.LongType()
+
+
+def test_promote_extras_lifts_tunnel_keys(spark):
+    ev = with_schema_evolution(
+        gen_change_events(spark, 200, 20, seed=4), from_lsn=100
+    )
+    out = promote_extras(ev)
+    assert "new_col_score" in out.columns
+    pdf = out.select("lsn", "new_col_score").toPandas()
+    assert pdf[pdf.lsn < 100]["new_col_score"].isna().all()
+    assert pdf[pdf.lsn >= 100]["new_col_score"].notna().all()
+
+
+def test_merge_widens_table_schema_end_to_end(spark, tmp_table_path):
+    """Batch 1 defines a column as int; batch 2 sends the same column as
+    double → the table schema widens and old rows read back as double."""
+    schema = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=2)
+    b1 = spark.createDataFrame(
+        [{"lsn": 1, "op": "I", "repo": "r", "path": "a", "commit": "c", "lang": "py", "content": "x"}],
+        schema,
+    ).withColumn("score", F.lit(7).cast("int"))
+    table.merge(b1, batch_id=0)
+    assert table.schema()["score"].dataType == T.IntegerType()
+
+    b2 = spark.createDataFrame(
+        [{"lsn": 2, "op": "I", "repo": "r", "path": "b", "commit": "c", "lang": "py", "content": "y"}],
+        schema,
+    ).withColumn("score", F.lit(2.5).cast("double"))
+    table.merge(b2, batch_id=1)
+    assert table.schema()["score"].dataType == T.DoubleType()
+    got = {r["path"]: r["score"] for r in table.read().collect()}
+    assert got == {"a": 7.0, "b": 2.5}
+
+
+def test_tunnel_promotion_through_apply(spark, tmp_table_path):
+    """Events that grow a new tunnel field mid-stream: after apply, the field is
+    a real table column, null for rows last touched before the evolution point."""
+    ev = with_schema_evolution(gen_change_events(spark, 600, 40, seed=6), from_lsn=300)
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=2)
+    apply_batch(ev.filter("lsn <= 300"), table, batch_id=0, lineage=False)
+    apply_batch(ev.filter("lsn > 300"), table, batch_id=1, lineage=False)
+    assert "new_col_score" in [f.name for f in table.schema().fields]
+    pdf = table.read().toPandas()
+    assert pdf[pdf.lsn >= 300]["new_col_score"].notna().all()
+    assert pdf[pdf.lsn < 300]["new_col_score"].isna().all()
