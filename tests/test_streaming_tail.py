@@ -134,3 +134,29 @@ def test_tail_with_transform_and_dlq(spark, tmp_path, wal):
     assert spark.read.parquet(dlq).count() == 15
     good = poison(events).filter(F.col("op").isin("I", "U", "D"))
     assert_state_equals_oracle(table, good.toPandas())
+
+
+def test_ingest_metrics_listener_records_batches(spark, tmp_path, wal):
+    """North rule: per-partition lineage AND ingest metrics. The listener must
+    record one row per completed micro-batch with input-row counts."""
+    from pocket_etl_spark.streaming import metrics as M
+
+    wal_dir, events = wal
+    tpath = str(tmp_path / "t")
+    table = ParquetLakeTable(spark, tpath, num_buckets=4)
+    lis = M.attach(spark, tpath, query_name="qm")
+    try:
+        run_tail_to_exhaustion(
+            spark, wal_dir, table, str(tmp_path / "ckpt"), query_id="qm",
+            max_files_per_trigger=1,
+        )
+    finally:
+        M.detach(spark, lis)
+    rows = M.read_metrics(spark, tpath).collect()
+    with_data = [r for r in rows if r["num_input_rows"] > 0]
+    assert len(with_data) == 3  # 3 WAL files at maxFilesPerTrigger=1
+    # numInputRows counts source reads; the apply body scans the batch more
+    # than once (stats pass + merge), so each batch reports >= its 500 rows
+    assert all(r["num_input_rows"] >= 500 for r in with_data)
+    assert sorted(r["batch_id"] for r in with_data) == [0, 1, 2]
+    assert all(r["query_name"] == "qm" for r in rows)
