@@ -70,6 +70,49 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", thres
     )
 
 
+def winnow_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): hash every k-gram of
+    the text, then keep the minimum hash of each sliding window of w positions.
+    The distinct selected hashes are the document's fingerprint set — two
+    documents sharing long substrings share fingerprints, which is the
+    plagiarism/near-dup primitive MinHash doesn't give (it is order-blind).
+
+    Pure higher-order column expressions (sequence/transform/slice/array_min) —
+    JVM-side, zero shuffle, and the hash is the portable md5-derived 60-bit form
+    so any ANSI engine reproduces it. The surfaced scalars (count/min/max of the
+    set) are the deterministic summary; the full set is available via
+    ``_winnow_set`` for joins.
+    """
+    txt = F.col(text_col)
+    n_grams = F.length(txt) - F.lit(k - 1)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(txt.substr(i, F.lit(k))), 1, 15), 16, 10).cast(
+            "bigint"
+        ),
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - F.lit(w - 1), F.lit(1))
+    winnowed = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(gram_hashes, j, w)),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        winnowed.alias("_winnow_set"),
+        F.size(winnowed).alias("n_fingerprints"),
+        F.array_min(winnowed).alias("min_fp"),
+        F.array_max(winnowed).alias("max_fp"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over normalized text (lowercase, squeezed
     whitespace) plus a 60-bit integer form for numeric partitioning — the exact

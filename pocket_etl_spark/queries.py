@@ -506,6 +506,15 @@ def q_text_fingerprint(spark, sf):
     return fingerprint(t(spark, sf, "documents"))
 
 
+def q_text_winnow(spark, sf):
+    """Rolling-hash winnowing fingerprint (k=8-gram hashes, window-min over
+    w=4) — summarized as count/min/max of the selected-hash set
+    (operators/text.winnow_fingerprint)."""
+    from pocket_etl_spark.operators.text import winnow_fingerprint
+
+    return winnow_fingerprint(t(spark, sf, "documents")).drop("_winnow_set")
+
+
 def q_multimodal_binary_meta(spark, sf):
     """Binary-column plumbing: text encoded to binary, byte length + digest
     (operators/multimodal.binary_meta; decode/feature UDFs are tested in
@@ -656,6 +665,29 @@ ORACLE_SQL: dict[str, str] = {
                md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fingerprint,
                ('0x' || substr(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')), 1, 15))::BIGINT AS fingerprint_long
         FROM documents
+    """,
+    "text_winnow": """
+        WITH g AS (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(length(text) - 7, 1)),
+                       i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT
+                   ) AS hashes
+            FROM documents
+        ),
+        win AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           generate_series(1, greatest(len(hashes) - 3, 1)),
+                           j -> list_min(list_slice(hashes, j, j + 3))
+                       )
+                   ) AS fp
+            FROM g
+        )
+        SELECT doc_id, len(fp) AS n_fingerprints,
+               list_min(fp) AS min_fp, list_max(fp) AS max_fp
+        FROM win
     """,
     "multimodal_binary_meta": """
         SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
@@ -889,5 +921,6 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow": q_text_winnow,
     "multimodal_binary_meta": q_multimodal_binary_meta,
 }

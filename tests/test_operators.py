@@ -115,3 +115,24 @@ def test_exact_dedup_finds_injected_duplicates(spark):
     assert groups.filter("n_dups > 1").count() == 5
     # kept_id is always the original (min id)
     assert groups.filter("n_dups > 1").filter("kept_id >= 100000").count() == 0
+
+
+def test_winnow_fingerprints_overlap_on_shared_substrings(spark):
+    """Winnowing property: a document and a copy with a changed tail still share
+    most selected hashes; an unrelated document shares ~none."""
+    from pocket_etl_spark.operators.text import winnow_fingerprint
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = [
+        {"doc_id": 1, "text": base + "ending one"},
+        {"doc_id": 2, "text": base + "a totally different ending two"},
+        {"doc_id": 3, "text": "completely unrelated content with other words entirely " * 3},
+    ]
+    out = {
+        r["doc_id"]: set(r["_winnow_set"])
+        for r in winnow_fingerprint(spark.createDataFrame(docs)).collect()
+    }
+    sim12 = len(out[1] & out[2]) / len(out[1] | out[2])
+    sim13 = len(out[1] & out[3]) / len(out[1] | out[3])
+    assert sim12 > 0.6
+    assert sim13 < 0.05
