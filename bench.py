@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
     "text_quality",
     "ann_brute_force",
     "multimodal_binary_meta",
@@ -44,6 +45,22 @@ HEADLINE = [
 
 CDC_EVENTS = int(os.environ.get("BENCH_CDC_EVENTS", "4000000"))
 CDC_KEYS = int(os.environ.get("BENCH_CDC_KEYS", "200000"))
+
+TABLES = [
+    "lineitem", "orders", "customer", "supplier", "nation", "region",
+    "events", "documents", "embeddings",
+]
+
+
+def warm_reader(spark, sf_dir: str) -> None:
+    """Warm the parquet-reader path (file listing, footer decode, scan codegen)
+    so per-query numbers measure the query, not first-touch JVM warmup — the
+    round-1 bench warmed the JVM but not the reader, which dominated the first
+    query's time (~4.8s for a 0.3s aggregate)."""
+    for name in TABLES:
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
 
 
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
@@ -95,16 +112,50 @@ def run_cdc_replay(spark) -> tuple[float, float]:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def replay_only() -> None:
+    """Subprocess mode: run ONLY the CDC replay at $SPARK_GRAFT_CPUS and print
+    one JSON line — lets the main bench also report the replay at the host's
+    measured linear region (local[8]; see BENCH/BASELINE.md — local[32] on this
+    box measures the microVM, not the engine)."""
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = get_spark("bench_replay", cores=cores, shuffle_partitions=cores)
+    spark.range(1).count()
+    wall, eps = run_cdc_replay(spark)
+    print(json.dumps({"wall": wall, "eps": eps, "cores": cores}))
+
+
+def _linear_region_replay() -> float | None:
+    import subprocess
+
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--replay-only"],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return round(json.loads(line)["eps"], 1)
+    except Exception:
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
     spark = get_spark("bench", cores=cores, shuffle_partitions=cores)
     spark.range(1).count()  # JVM warmup outside timings
+    warm_reader(spark, sf_dir)  # reader/codegen warmup outside timings
 
     times = run_headline(spark, sf_dir)
     cdc_wall, eps = run_cdc_replay(spark)
     times["cdc_replay"] = round(cdc_wall, 3)
+    spark.stop()
+
+    # comparable steady-state number: same replay at the measured linear region
+    eps8 = _linear_region_replay()
 
     out = {
         "metric": "headline_suite_plus_cdc_replay_wall",
@@ -113,6 +164,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "events_per_sec": round(eps, 1),
+        "events_per_sec_local8": eps8,
         "cdc_events": CDC_EVENTS,
         "cores": cores,
     }
@@ -120,4 +172,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--replay-only" in sys.argv:
+        replay_only()
+    else:
+        main()

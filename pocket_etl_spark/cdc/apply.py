@@ -20,9 +20,9 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pocket_etl_spark.cdc.dedupe import detect_hot_keys
 from pocket_etl_spark.cdc.evolution import EXTRAS_COL, PROMOTE_PREFIX, promote_extras
 from pocket_etl_spark.lake import MergeResult, ParquetLakeTable
+from pocket_etl_spark.profiling import Profiler
 
 VALID_OPS = ("I", "U", "D")
 
@@ -46,6 +46,7 @@ class ApplyResult:
     hot_keys: list[tuple] = field(default_factory=list)
     lineage_path: str | None = None
     duration_sec: float = 0.0
+    timings: dict[str, float] = field(default_factory=dict)
 
 
 def split_invalid(events: DataFrame, table: ParquetLakeTable) -> tuple[DataFrame, DataFrame]:
@@ -87,12 +88,18 @@ def apply_batch(
     drop_cols: tuple[str, ...] = ("ts", "extras"),
     cache: bool = True,
 ) -> ApplyResult:
-    """Apply one micro-batch of change events to the lake table, exactly-once."""
+    """Apply one micro-batch of change events to the lake table, exactly-once.
+
+    Phase timings are collected into a hierarchical Profiler tree (the
+    reference's EtlProfilingScope.java:47-128 timer rollup) — exported on
+    ApplyResult.timings and written into the batch's lineage document."""
     t0 = time.time()
-    good, bad = split_invalid(events, table)
-    rows_bad = 0
-    if dlq_path is not None:
-        rows_bad = write_dlq(bad, dlq_path, batch_id)
+    prof = Profiler()
+    with prof.scope("dlq_split"):
+        good, bad = split_invalid(events, table)
+        rows_bad = 0
+        if dlq_path is not None:
+            rows_bad = write_dlq(bad, dlq_path, batch_id)
 
     # Cache the validated batch: it feeds (a) tunnel-field discovery — a full
     # batch scan, (b) the merge's conform pass, and (c) lineage aggregates.
@@ -100,11 +107,25 @@ def apply_batch(
     # generator / filter) from scratch.
     t1 = _tick("dlq_split", t0)
 
+    # Cache the validated batch only when the upstream is not cheaply
+    # replayable: the merge reads the payload twice (winner-ord aggregate +
+    # probe side), and a non-deterministic source would diverge between reads.
+    # For file-backed batches (the streaming tail's micro-batches, replay from
+    # a staged WAL) re-reading the pruned parquet scan is cheaper than paying
+    # the columnar cache write of the full batch. The persist MUST happen
+    # before the stats pass below: if the stats pass ran against the uncached
+    # frame, a non-deterministic upstream could hand the merge keys whose
+    # bucket never entered touched_buckets — the merge would then write a
+    # bucket the manifest loop never registers, silently dropping the update.
+    cached = good.persist() if cache else good
+
     # ONE stats pass over the validated batch computes everything the driver
     # needs before the merge: the set of touched hash buckets (merge reads and
     # rewrites only those) and the distinct promotable tunnel keys (schema
-    # evolution). It runs BEFORE any caching so column pruning reaches the
-    # source scan — only the key columns and the extras map are read.
+    # evolution). When cache=False (deterministic file-backed batch) column
+    # pruning reaches the source scan — only key columns and the extras map
+    # are read; when cache=True this pass also populates the cache so every
+    # later consumer reads the same materialization.
     sel = [table._bucket_expr().alias("_b")]
     aggs = [F.collect_set("_b").alias("_buckets")]
     if EXTRAS_COL in good.columns:
@@ -114,18 +135,11 @@ def apply_batch(
             ).alias("_pk")
         )
         aggs.append(F.array_distinct(F.flatten(F.collect_set("_pk"))).alias("_promo"))
-    stats = good.select(*sel).agg(*aggs).collect()[0]
-    touched = sorted(stats["_buckets"])
-    promo_keys = sorted(stats["_promo"]) if EXTRAS_COL in good.columns else []
+    with prof.scope("batch_stats"):
+        stats = cached.select(*sel).agg(*aggs).collect()[0]
+        touched = sorted(stats["_buckets"])
+        promo_keys = sorted(stats["_promo"]) if EXTRAS_COL in good.columns else []
     t1 = _tick("batch_stats", t1)
-
-    # Cache the validated batch only when the upstream is not cheaply
-    # replayable: the merge reads the payload twice (winner-ord aggregate +
-    # probe side), and a non-deterministic source would diverge between reads.
-    # For file-backed batches (the streaming tail's micro-batches, replay from
-    # a staged WAL) re-reading the pruned parquet scan is cheaper than paying
-    # the columnar cache write of the full batch.
-    cached = good.persist() if cache else good
 
     # Schema evolution: lift tunnel fields (extras map "new_col_*") to columns
     # before the merge widens the table schema.
@@ -139,22 +153,49 @@ def apply_batch(
     rows_applied, rows_in, hot = -1, -1, []
     try:
         if lineage:
-            rows_in = payload.count()
-            rows_applied = (
-                payload.select(*table.key_cols).distinct().count()
-            )  # distinct keys touched = merge winners
-            hot = detect_hot_keys(payload, table.key_cols)
+            prof_ls = prof.scope("lineage_stats")
+            prof_ls.__enter__()
+            # ONE upstream pass for all lineage stats: group once per key,
+            # cache the (small) per-key histogram, derive row count, distinct
+            # keys (= merge winners) and the hot-key top-32 from it (the old
+            # path executed the upstream 4x: count, distinct, and
+            # detect_hot_keys' count + groupBy).
+            grouped = (
+                payload.groupBy(*table.key_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .persist()
+            )
+            try:
+                tot = grouped.agg(
+                    F.sum("_n").alias("_rows"), F.count(F.lit(1)).alias("_keys")
+                ).collect()[0]
+                rows_in = int(tot["_rows"] or 0)
+                rows_applied = int(tot["_keys"])
+                cutoff = max(1, int(rows_in * 0.05))
+                hot = [
+                    tuple(r[k] for k in table.key_cols)
+                    for r in grouped.filter(F.col("_n") > cutoff)
+                    .orderBy(F.col("_n").desc())
+                    .limit(32)
+                    .collect()
+                ]
+            finally:
+                grouped.unpersist()
+                prof_ls.__exit__(None, None, None)
             t1 = _tick("lineage_stats", t1)
-        result = table.merge(
-            payload, batch_id=batch_id, query_id=query_id, touched_buckets=touched
-        )
+        with prof.scope("merge"):
+            result = table.merge(
+                payload, batch_id=batch_id, query_id=query_id, touched_buckets=touched
+            )
         t1 = _tick("merge", t1)
 
         lineage_path = None
         if lineage:
-            lineage_path = _write_lineage(
-                table, payload, payload, result, batch_id, query_id, hot, rows_bad
-            )
+            with prof.scope("lineage_write"):
+                lineage_path = _write_lineage(
+                    table, payload, payload, result, batch_id, query_id, hot,
+                    rows_bad, timings=prof.flat(),
+                )
     finally:
         if cache:
             cached.unpersist()
@@ -166,6 +207,7 @@ def apply_batch(
         hot_keys=hot,
         lineage_path=lineage_path,
         duration_sec=time.time() - t0,
+        timings=prof.flat(),
     )
 
 
@@ -178,6 +220,7 @@ def _write_lineage(
     query_id: str,
     hot_keys: list[tuple],
     rows_bad: int,
+    timings: dict[str, float] | None = None,
 ) -> str:
     """Per-partition lineage + ingest metrics (north rule; reference analogue is the
     hierarchical metrics tree, EtlMetrics.java:25-53). One distributed aggregate per
@@ -208,6 +251,7 @@ def _write_lineage(
         "op_counts": op_counts,
         "hot_keys": [list(k) for k in hot_keys],
         "buckets": [r.asDict() for r in per_bucket],
+        "timings": timings or {},
         "committed_at": time.time(),
     }
     lineage_dir = os.path.join(table.path, "_lineage")

@@ -144,9 +144,12 @@ class ParquetLoader(Loader):
 
 @dataclass
 class CsvLoader(Loader):
-    """CSV part files — CsvStringSerializer defaults: ``|`` separator for the
-    Redshift path, header optional, UTC ISO timestamps
-    (loader/CsvStringSerializer.java:36-125)."""
+    """CSV part files matching the reference's exact serialization contract
+    (loader/CsvStringSerializer.java:36-125, byte-asserted by
+    MockedS3FunctionalTest.java:48-58): QUOTE-FREE output (withoutQuoteChar —
+    values are never wrapped, empty strings stay empty), configurable separator
+    (``|`` default for the Redshift path), header on the first row of each part
+    when enabled, UTC ISO timestamps."""
 
     path: str
     sep: str = "|"
@@ -158,6 +161,8 @@ class CsvLoader(Loader):
             df.write.mode(self.mode)
             .option("sep", self.sep)
             .option("header", str(self.header).lower())
+            .option("quote", "")  # withoutQuoteChar: never quote
+            .option("emptyValue", "")  # empty string stays empty, not '""'
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
             .csv(self.path)
         )
@@ -176,6 +181,73 @@ class LakeMergeLoader(Loader):
 
     def load(self, df: DataFrame, stream: "EtlStream") -> Any:
         return self.table.merge(df, batch_id=self.batch_id, query_id=self.query_id)
+
+
+@dataclass
+class RowSinkLoader(Loader):
+    """Per-record sink with logs-and-continue failure routing — DynamoDbLoader
+    parity (loader/DynamoDbLoader.java:45-137: one failed put-item logs the
+    record and the batch continues; the whole write never aborts for a
+    recoverable per-record error).
+
+    ``write_fn(record: dict)`` runs once per record ON THE EXECUTORS
+    (partition-parallel, Arrow-batched transfer); a record whose write raises
+    is routed to the sink DLQ (``dlq_path`` parquet + the returned counts)
+    and the stream continues. Raise UnrecoverableStreamFailure inside
+    ``write_fn`` to abort the run instead.
+
+    The per-record Python loop is the SINK's own contract here (a
+    row-at-a-time put-item API), not a transform hot path — batch-capable
+    sinks use the bulk loaders above. Exactly-once caveat is the reference's
+    too: Spark may retry a failed task, so ``write_fn`` must be idempotent
+    per record (DynamoDB put-item LWW is)."""
+
+    write_fn: Callable[[dict], None]
+    dlq_path: str | None = None
+
+    def load(self, df: DataFrame, stream: "EtlStream") -> dict[str, int]:
+        cols = [c for c in df.columns]
+        out_schema = T.StructType(
+            list(df.schema.fields) + [T.StructField(_ERR_COL, T.StringType())]
+        )
+        fn = self.write_fn
+
+        def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                statuses = []
+                for rec in pdf.to_dict("records"):
+                    try:
+                        fn(rec)
+                        statuses.append(None)
+                    except UnrecoverableStreamFailure:
+                        raise
+                    except Exception:
+                        statuses.append(traceback.format_exc(limit=1))
+                out = pdf.copy()
+                out[_ERR_COL] = pd.Series(statuses, index=pdf.index, dtype="object")
+                yield out
+
+        res = df.mapInPandas(sink, schema=out_schema).persist()
+        try:
+            # one action materializes the cache → every record written exactly
+            # once per run; the DLQ leg below reads the cached result
+            n_failed = res.filter(F.col(_ERR_COL).isNotNull()).count()
+            n_total = res.count()
+            if n_failed and self.dlq_path is not None:
+                (
+                    res.filter(F.col(_ERR_COL).isNotNull())
+                    .select(
+                        F.lit(stream._name).alias("stream"),
+                        F.col(_ERR_COL).alias("error"),
+                        F.to_json(F.struct(*cols)).alias("payload"),
+                        F.current_timestamp().alias("ts"),
+                    )
+                    .write.mode("append")
+                    .parquet(self.dlq_path)
+                )
+        finally:
+            res.unpersist()
+        return {"records_written": n_total - n_failed, "records_failed": n_failed}
 
 
 @dataclass
@@ -463,41 +535,48 @@ class EtlStream:
         dlq_path: str | None = None,
     ) -> RunResult:
         """Execute: compile, split the DLQ channel, drive the sink, collect
-        metrics. The DLQ split happens ONCE at the sink (all map_rows stages
-        tag failing rows in-band), so clean runs stay single-pass."""
+        metrics. When any map_rows stage exists the post-split frame is
+        persisted ONCE: the DLQ leg and the clean leg both read that single
+        materialization, so (a) the upstream executes exactly once per run and
+        (b) a non-deterministic transform can never land a record in both (or
+        neither) leg."""
         if self._loader is None:
             raise ValueError("stream has no loader; terminate with .load(...)")
         df, observations = self.to_df(spark)
 
         dlq_df = None
         dlq_count = 0
-        if _ERR_COL in df.columns:
-            err = df.filter(F.col(_ERR_COL).isNotNull())
-            fmt = self._object_logger
-            payload = (
-                F.to_json(F.struct(*[c for c in df.columns if c != _ERR_COL]))
-                if fmt is None
-                else F.udf(lambda r: fmt(r.asDict()), T.StringType())(
-                    F.struct(*[c for c in df.columns if c != _ERR_COL])
+        persisted = None
+        try:
+            if _ERR_COL in df.columns:
+                persisted = df.persist()
+                err = persisted.filter(F.col(_ERR_COL).isNotNull())
+                fmt = self._object_logger
+                payload = (
+                    F.to_json(F.struct(*[c for c in df.columns if c != _ERR_COL]))
+                    if fmt is None
+                    else F.udf(lambda r: fmt(r.asDict()), T.StringType())(
+                        F.struct(*[c for c in df.columns if c != _ERR_COL])
+                    )
                 )
-            )
-            dlq_df = err.select(
-                F.lit(self._name).alias("stream"),
-                F.col(_ERR_COL).alias("error"),
-                payload.alias("payload"),
-                F.current_timestamp().alias("ts"),
-            )
-            # The DLQ leg re-executes the upstream; real deployments point
-            # dlq_path at storage and the engine persists the split once.
-            clean = df.filter(F.col(_ERR_COL).isNull()).drop(_ERR_COL)
-            if dlq_path is not None:
-                dlq_df.write.mode("append").parquet(dlq_path)
-                dlq_count = spark.read.parquet(dlq_path).count()
-            else:
+                dlq_df = err.select(
+                    F.lit(self._name).alias("stream"),
+                    F.col(_ERR_COL).alias("error"),
+                    payload.alias("payload"),
+                    F.current_timestamp().alias("ts"),
+                )
+                if dlq_path is not None:
+                    # append THIS run's failures; materializes the persist
+                    dlq_df.write.mode("append").parquet(dlq_path)
+                # this run's DLQ count (never the accumulated directory's) —
+                # cheap: reads the cached split, not the upstream
                 dlq_count = dlq_df.count()
-            df = clean
+                df = persisted.filter(F.col(_ERR_COL).isNull()).drop(_ERR_COL)
 
-        sink_result = self._loader.load(df, self)
+            sink_result = self._loader.load(df, self)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         metrics = {name: obs.get for name, obs in observations}
         return RunResult(sink_result=sink_result, metrics=metrics, dlq=dlq_df, dlq_count=dlq_count)
 

@@ -63,13 +63,18 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 128,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold.
 
     inter = |shingles(a) ∩ shingles(b)| via self-join on shingle;
     jaccard = inter / (|a| + |b| - inter) — int/int division, exact cross-engine.
-    ``max_doc_freq`` drops ubiquitous shingles before the join (skew control)."""
+    ``max_doc_freq`` drops ubiquitous shingles before the join — ON by default
+    (128): one hot shingle shared by half a 10^9-doc corpus makes the
+    shingle-equi self-join quadratic; the cap bounds per-shingle join fan-out
+    at max_doc_freq² pairs independent of corpus size. Sizes and intersections
+    are both computed over the CAPPED shingle sets, so jaccard remains a true
+    Jaccard over the reduced universe. ``None`` disables (exact, test-scale)."""
     sh = shingles(df, id_col, text_col, n)
     if max_doc_freq is not None:
         rare = (

@@ -418,11 +418,13 @@ def q_dedup_exact(spark, sf):
 
 
 def q_dedup_ngram_jaccard(spark, sf):
-    """Near-dup pairs by 3-gram Jaccard ≥ 0.3 (operators/dedup.ngram_jaccard_pairs).
-    Shuffle bounded by shared-shingle pairs, not O(n²)."""
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.3 (operators/dedup.ngram_jaccard_pairs)
+    with the default doc-frequency cap (128) ACTIVE — the oracle mirrors the cap,
+    so the gated configuration is the bounded-fan-out scale path: per-shingle join
+    fan-out ≤ 128² pairs regardless of corpus size."""
     from pocket_etl_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.3)
+    return ngram_jaccard_pairs(t(spark, sf, "documents"), threshold=0.3, max_doc_freq=128)
 
 
 def q_dedup_minhash_lsh(spark, sf):
@@ -444,6 +446,17 @@ def q_dedup_embedding(spark, sf):
     from pocket_etl_spark.operators.similarity import embedding_dup_pairs
 
     return embedding_dup_pairs(t(spark, sf, "embeddings"), threshold=0.45)
+
+
+def q_dedup_embedding_lsh(spark, sf):
+    """Embedding near-dup with hyperplane-LSH bucketing ACTIVE (cos ≥ 0.45,
+    planes = first 4 vectors) — the scale configuration: candidate pairs are
+    generated only within sign-pattern buckets, never all-pairs
+    (operators/similarity.embedding_dup_pairs with ``planes``)."""
+    from pocket_etl_spark.operators.similarity import embedding_dup_pairs
+
+    e = t(spark, sf, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.45, planes=e.filter("vec_id < 4"))
 
 
 def q_ann_brute_force(spark, sf):
@@ -538,9 +551,11 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "dedup_ngram_jaccard": f"""
         WITH {_SHINGLE_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 128),
+        shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
         inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                   GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
@@ -573,6 +588,18 @@ ORACLE_SQL: dict[str, str] = {
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e) /
+              (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
+    """,
+    "dedup_embedding_lsh": """
+        WITH p AS (SELECT vec_id AS pid, embedding::DOUBLE[] AS pv FROM embeddings WHERE vec_id < 4),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        bk AS (SELECT vec_id, CAST(SUM(CASE WHEN list_dot_product(e, pv) > 0
+                                            THEN (1::BIGINT << pid::INT) ELSE 0 END) AS BIGINT) AS bucket
+               FROM v, p GROUP BY vec_id),
+        vb AS (SELECT v.vec_id, e, bucket FROM v JOIN bk USING (vec_id))
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.e, b.e) /
               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.45
     """,
@@ -915,6 +942,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -12,6 +12,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _parse_gb(mem: str) -> int:
+    m = mem.strip().lower()
+    if m.endswith("g"):
+        return int(m[:-1])
+    if m.endswith("m"):
+        return max(1, int(m[:-1]) // 1024)
+    return int(m)
+
+
+def _derived_heap() -> str:
+    try:
+        with open("/proc/meminfo") as f:
+            avail_kb = next(
+                int(line.split()[1]) for line in f if line.startswith("MemAvailable:")
+            )
+        return f"{max(2, min(16, int(avail_kb / (1 << 20) * 0.5)))}g"
+    except (OSError, StopIteration):
+        return "8g"
+
+
 def get_spark(
     app_name: str = "pocket_etl_spark",
     cores: int | None = None,
@@ -29,14 +49,26 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # Heap: explicit override, else derived from MemAvailable (half, capped at
+    # 16g, floor 2g) — a fixed 16g -Xms with AlwaysPreTouch would fail to start
+    # (or pre-touch the whole machine) on smaller hosts.
+    mem = os.environ.get("SPARK_DRIVER_MEM") or _derived_heap()
+
     # Shuffle/spill files go to fast local storage: tmpfs in this sandbox (the
-    # rootfs disk collapses under 32 concurrent shuffle writers), local NVMe on a
-    # real cluster (where spark.local.dir comes from the node config).
-    mem = os.environ.get("SPARK_DRIVER_MEM", "16g")
+    # rootfs disk collapses under 32 concurrent shuffle writers), local NVMe on
+    # a real cluster (where spark.local.dir comes from the node config). tmpfs
+    # competes with the heap for RAM, so only use it when its free space covers
+    # at least the heap again — otherwise fall back to disk.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
-        os.makedirs(local_dir, exist_ok=True)
+        try:
+            st = os.statvfs("/dev/shm")
+            shm_free = st.f_bavail * st.f_frsize
+        except OSError:
+            shm_free = 0
+        if shm_free >= _parse_gb(mem) * (1 << 30):
+            local_dir = "/dev/shm/spark-local"
+            os.makedirs(local_dir, exist_ok=True)
 
     builder = (
         SparkSession.builder.master(f"local[{cores}]")

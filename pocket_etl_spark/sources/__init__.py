@@ -47,8 +47,31 @@ class CsvExtractor:
     sep: str = ","
     header: bool = True
     fail_on_malformed: bool = True
+    extras_col: str | None = None
 
     def to_df(self, spark: SparkSession) -> DataFrame:
+        if self.schema is not None and self.extras_col is not None:
+            # Unknown-column catch-all (EtlBeanMapper.java:46-49,100-112: the
+            # secondary mapper tunnels undeclared columns into a dynamic Map):
+            # read raw strings by header name, cast the declared columns, pack
+            # every undeclared column into a map<string,string>.
+            schema = (
+                T.StructType.fromDDL(self.schema)
+                if isinstance(self.schema, str)
+                else self.schema
+            )
+            raw = (
+                spark.read.option("sep", self.sep)
+                .option("header", "true")
+                .csv(self.path)
+            )
+            declared = {f.name for f in schema.fields}
+            undeclared = [c for c in raw.columns if c not in declared]
+            kv = [x for c in undeclared for x in (F.lit(c), F.col(c))]
+            return raw.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+                F.create_map(*kv).alias(self.extras_col),
+            )
         r = (
             spark.read.option("sep", self.sep)
             .option("header", str(self.header).lower())
@@ -70,8 +93,28 @@ class JsonExtractor:
 
     path: str
     schema: T.StructType | str | None = None
+    extras_col: str | None = None
 
     def to_df(self, spark: SparkSession) -> DataFrame:
+        if self.schema is not None and self.extras_col is not None:
+            # Unknown-key catch-all (EtlBeanMapper.java:46-49 analogue): parse
+            # the line against the declared schema AND against map<string,string>,
+            # keep only undeclared keys in the map. One pass over the text; both
+            # from_json calls are JVM-side.
+            schema = (
+                T.StructType.fromDDL(self.schema)
+                if isinstance(self.schema, str)
+                else self.schema
+            )
+            declared = [f.name for f in schema.fields]
+            raw = spark.read.text(self.path)
+            return raw.select(
+                F.from_json("value", schema).alias("_r"),
+                F.map_filter(
+                    F.from_json("value", "map<string,string>"),
+                    lambda k, _v: ~k.isin(*declared),
+                ).alias(self.extras_col),
+            ).select("_r.*", self.extras_col)
         r = spark.read
         if self.schema is not None:
             r = r.schema(self.schema)
@@ -95,21 +138,121 @@ class ParquetExtractor:
         return spark.read.parquet(self.path)
 
 
+import re as _re
+
+
+def rewrite_hash_params(sql: str) -> str:
+    """Reference parameter syntax ``#name`` (SqlExtractor.java:89-101) → Spark
+    named parameter markers ``:name``. Skips string literals so a literal '#'
+    inside quotes is untouched."""
+    out, in_str = [], False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            in_str = not in_str
+            out.append(ch)
+        elif ch == "#" and not in_str:
+            m = _re.match(r"#([A-Za-z_][A-Za-z0-9_]*)", sql[i:])
+            if m:
+                out.append(":" + m.group(1))
+                i += m.end()
+                continue
+            out.append(ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def encode_sql_literal(v: Any) -> str:
+    """Encode a Python value as a Spark-SQL literal, injection-safe: strings
+    escape both backslash and quote (Spark string literals honor backslash
+    escapes by default, so quote-doubling alone would be bypassable with a
+    trailing backslash); collections expand for IN-lists."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "(" + ", ".join(encode_sql_literal(x) for x in v) + ")"
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return f"'{s}'"
+
+
+def bind_sql_params(sql: str, args: dict[str, Any]) -> str:
+    """Bind ``#name`` parameters as safely-encoded literals — the fallback for
+    engines that cannot take server-side bound parameters (the JDBC pushdown
+    path). A hostile value can never terminate its literal, so it cannot alter
+    the statement (the reference's prepared-statement guarantee,
+    EtlJdbi.java:44-51, re-established by encoding). Raises on unknown names."""
+    def sub(m: _re.Match) -> str:
+        name = m.group(1)
+        if name not in args:
+            raise KeyError(f"missing SQL parameter #{name}")
+        return encode_sql_literal(args[name])
+
+    out, in_str = [], False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            in_str = not in_str
+            out.append(ch)
+        elif ch == "#" and not in_str:
+            m = _re.match(r"#([A-Za-z_][A-Za-z0-9_]*)", sql[i:])
+            if m:
+                out.append(sub(m))
+                i += m.end()
+                continue
+            out.append(ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+@dataclass
+class SqlExtractor:
+    """Parameterized SQL over the session's tables/views — the reference's
+    SqlExtractor (extractor/SqlExtractor.java:54-158) for the lake-local case.
+
+    ``#name`` parameters (reference syntax) are rewritten to Spark named
+    parameter markers and bound via ``spark.sql(..., args=...)``: the analyzer
+    binds them as literal expressions AFTER parsing, so a hostile parameter
+    value can never change the statement shape — the prepared-statement
+    guarantee (EtlJdbi.java:44-51), tested by the ported injection regression
+    (SqlExtractorFunctionalTest.java:90-119 → tests/test_sql_params.py)."""
+
+    sql: str
+    args: dict[str, Any] = field(default_factory=dict)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        q = rewrite_hash_params(self.sql)
+        return spark.sql(q, args=self.args) if self.args else spark.sql(q)
+
+
 @dataclass
 class JdbcExtractor:
-    """SqlExtractor (extractor/SqlExtractor.java:54-158): parameterized SQL
-    against a JDBC source. The reference's ``#name`` parameters are prepared-
-    statement-safe (EtlJdbi.java:44-51); Spark's JDBC source takes a full query
-    (pushed down to the database) and properties. Untestable in this sandbox
-    (no database); kept thin over spark.read.jdbc."""
+    """SqlExtractor against a JDBC source (extractor/SqlExtractor.java:54-158):
+    the full query pushes down to the database. ``#name`` parameters are bound
+    as safely-encoded literals (bind_sql_params) before pushdown — Spark's JDBC
+    reader offers no server-side prepared parameters, so literal encoding is
+    the injection barrier (same guarantee, different mechanism; binder is
+    hermetically tested). JDBC connectivity itself is untestable in this
+    sandbox (no database); kept thin over spark.read.jdbc."""
 
     url: str
     query: str
     properties: dict[str, str] = field(default_factory=dict)
+    args: dict[str, Any] = field(default_factory=dict)
 
     def to_df(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
+        q = bind_sql_params(self.query, self.args) if self.args else self.query
         return spark.read.format("jdbc").options(
-            url=self.url, query=self.query, **self.properties
+            url=self.url, query=q, **self.properties
         ).load()
 
 

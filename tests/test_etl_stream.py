@@ -13,6 +13,7 @@ from pocket_etl_spark.etl import (
     EtlStream,
     MetricsLoader,
     ParquetLoader,
+    RowSinkLoader,
     UnrecoverableStreamFailure,
 )
 from pocket_etl_spark.sources import (
@@ -165,6 +166,48 @@ def test_recoverable_errors_route_to_dlq(spark, tmp_path):
     assert "boom on 3" in dlq.collect()[0]["error"]
 
 
+def test_run_executes_pipeline_exactly_once(spark, tmp_path):
+    """A clean run with a map_rows stage must execute the pipeline ONCE — the
+    DLQ split is persisted, so the DLQ leg and sink read one materialization
+    (the old path re-ran the upstream 2-3x per run)."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_rows(pdf):
+        acc.add(len(pdf))
+        return pdf
+
+    buf = BufferLoader()
+    res = (
+        EtlStream.extract(_src(spark))
+        .map_rows(count_rows)
+        .load(buf)
+        .run(spark, dlq_path=str(tmp_path / "dlq"))
+    )
+    assert len(buf.rows) == 10 and res.dlq_count == 0
+    assert acc.value == 10  # every row transformed exactly once
+
+
+def test_dlq_count_is_per_run_not_cumulative(spark, tmp_path):
+    """RunResult.dlq_count reports THIS run's failures, not the accumulated
+    DLQ directory shared across runs."""
+
+    def maybe_fail(pdf):
+        if (pdf["score"] == 3).any():
+            raise ValueError("boom on 3")
+        return pdf
+
+    dlq = str(tmp_path / "dlq")
+    for _ in range(2):
+        res = (
+            EtlStream.extract(_src(spark).repartition(1))
+            .map_rows(maybe_fail)
+            .load(BufferLoader())
+            .run(spark, dlq_path=dlq)
+        )
+        assert res.dlq_count == 1
+    assert spark.read.parquet(dlq).count() == 2  # directory accumulates
+
+
 def test_unrecoverable_aborts_stream(spark):
     def abort(pdf):
         raise UnrecoverableStreamFailure("fatal")
@@ -281,13 +324,55 @@ def test_parquet_loader_parts_and_close_callback(spark, tmp_path):
     assert len(files) >= 4
 
 
-def test_csv_loader_redshift_dialect(spark, tmp_path):
+def test_csv_loader_exact_serialization_contract(spark, tmp_path):
+    """Exact-byte contract (CsvStringSerializer withoutQuoteChar + header row,
+    MockedS3FunctionalTest.java:48-58): quote-free pipe-separated lines, header
+    first, empty string stays empty (never '\"\"')."""
     out = str(tmp_path / "csv")
-    EtlStream.extract(_src(spark, NAMES[:2])).load(CsvLoader(out, sep="|")).run(spark)
-    text = "".join(
-        open(os.path.join(out, f)).read() for f in os.listdir(out) if f.startswith("part-")
+    df = spark.createDataFrame(
+        [("x,with,commas", 1, ""), ("y", 2, "note")],
+        "name string, score int, memo string",
+    ).coalesce(1)
+    EtlStream.extract(df).load(CsvLoader(out, sep="|", header=True)).run(spark)
+    [part] = [f for f in os.listdir(out) if f.startswith("part-")]
+    text = open(os.path.join(out, part)).read()
+    assert text == "name|score|memo\nx,with,commas|1|\ny|2|note\n"
+
+
+def test_row_sink_loader_routes_record_failures_to_dlq(spark, tmp_path):
+    """DynamoDbLoader parity (loader/DynamoDbLoader.java:45-137): a failed
+    per-record put logs-and-continues — the sink write never aborts the batch,
+    the failed record lands in the sink DLQ, every other record is written."""
+    outdir = str(tmp_path / "items")
+    os.makedirs(outdir)
+    dlq = str(tmp_path / "sink_dlq")
+
+    def put_item(rec):
+        if rec["score"] == 4:
+            raise ValueError("conditional check failed on 4")
+        with open(os.path.join(outdir, f"{rec['name']}.item"), "w") as f:
+            f.write(str(rec["score"]))
+
+    res = (
+        EtlStream.extract(_src(spark))
+        .load(RowSinkLoader(put_item, dlq_path=dlq))
+        .run(spark)
     )
-    assert "|" in text
+    assert res.sink_result == {"records_written": 9, "records_failed": 1}
+    assert len(os.listdir(outdir)) == 9 and "p4.item" not in os.listdir(outdir)
+    dlq_rows = spark.read.parquet(dlq).collect()
+    assert len(dlq_rows) == 1
+    assert "conditional check failed" in dlq_rows[0]["error"]
+    assert '"name":"p4"' in dlq_rows[0]["payload"]
+
+
+def test_row_sink_loader_unrecoverable_aborts(spark, tmp_path):
+    def fatal(rec):
+        raise UnrecoverableStreamFailure("sink down")
+
+    s = EtlStream.extract(_src(spark)).load(RowSinkLoader(fatal))
+    with pytest.raises(Exception):
+        s.run(spark)
 
 
 def test_metrics_loader_counters(spark):

@@ -78,14 +78,73 @@ def test_tombstone_blocks_late_lower_lsn(spark, tmp_table_path):
     assert len(got) == 1 and got[0]["content"] == "v3"
 
 
+def test_exact_duplicate_events_keep_one_row_per_key(spark, tmp_table_path):
+    """At-least-once delivery can land the SAME event (key, lsn, op) twice in
+    one batch: both rows tie at the max packed ordinal and the winner-recovery
+    join would emit both. The snapshot must stay one-row-per-key, and the
+    duplicate must not survive subsequent merges as a _src=0 resident pair."""
+    schema = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+    dup = [
+        {"lsn": 10, "op": "I", "repo": "r", "path": "p", "commit": "c1", "lang": "py", "content": "v1"},
+        {"lsn": 10, "op": "I", "repo": "r", "path": "p", "commit": "c1", "lang": "py", "content": "v1"},
+        {"lsn": 5, "op": "I", "repo": "r", "path": "q", "commit": "c0", "lang": "py", "content": "w0"},
+    ]
+    for strategy in ("shuffle", "broadcast", "sortagg"):
+        table = ParquetLakeTable(
+            spark, f"{tmp_table_path}_{strategy}", num_buckets=2, argmax_strategy=strategy
+        )
+        table.merge(spark.createDataFrame(dup, schema), batch_id=0)
+        got = table.read()
+        assert got.count() == 2, strategy
+        assert got.groupBy("repo", "path").count().filter("count > 1").count() == 0, strategy
+        # the duplicated key's row must not multiply on the NEXT merge either
+        more = [{"lsn": 20, "op": "U", "repo": "r", "path": "q", "commit": "c2", "lang": "py", "content": "w2"}]
+        table.merge(spark.createDataFrame(more, schema), batch_id=1)
+        got = table.read()
+        assert got.count() == 2, strategy
+        assert got.groupBy("repo", "path").count().filter("count > 1").count() == 0, strategy
+
+
 def test_merge_into_sql_shape():
     sql = merge_into_sql("t", "s_view", ["repo", "path"], ["repo", "path", "lsn", "content"])
     assert "MERGE INTO t t USING s_view s" in sql
     assert "t.repo = s.repo AND t.path = s.path" in sql
-    # idempotent replay guard + delete arm + insert arm
-    assert "s.lsn >= t.lsn THEN DELETE" in sql
-    assert "s.lsn >= t.lsn THEN UPDATE" in sql
-    assert "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT" in sql
+    # tombstone semantics: NO hard delete arm anywhere
+    assert "THEN DELETE" not in sql
+    # soft-delete flag written on update AND on insert (delete of absent key
+    # inserts a tombstone so late lower-LSN events cannot resurrect it)
+    assert "t._deleted = (s.op = 'D')" in sql
+    assert "WHEN NOT MATCHED THEN INSERT (repo, path, lsn, content, _deleted)" in sql
+    assert "(s.op = 'D'))" in sql.split("VALUES")[1]
+    # replay guard mirrors the packed argmax: strict newer wins; equal LSN —
+    # incoming wins unless stored tombstone vs non-D incoming
+    assert "s.lsn > t.lsn" in sql
+    assert "s.lsn = t.lsn AND (NOT t._deleted OR s.op = 'D')" in sql
+
+
+def test_hot_bucket_write_splits_into_file_slices(spark, tmp_table_path):
+    """With one touched bucket, files_per_bucket > 1 must fan the rewrite out
+    across several writer tasks (multiple part files in the bucket dir) while
+    the merged state stays correct — the hot-bucket write-parallelism fix."""
+    table = ParquetLakeTable(
+        spark, tmp_table_path, num_buckets=1, files_per_bucket=4
+    )
+    ev = _events(spark, n=2000, keys=400).drop("ts", "extras")
+    res = table.merge(ev, batch_id=0)
+    assert res.touched_buckets == [0]
+    bucket_dir = os.path.join(
+        tmp_table_path, "data", f"v{res.version:012d}", "_bucket=0"
+    )
+    parts = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]
+    assert len(parts) >= 2, parts  # hot bucket no longer a single writer
+    # correctness unchanged: one row per live key
+    got = table.read()
+    assert got.groupBy("repo", "path").count().filter("count > 1").count() == 0
+
+    from pocket_etl_spark.cdc.dedupe import lww_dedupe
+
+    want = lww_dedupe(ev, ["repo", "path"]).filter("op <> 'D'").count()
+    assert got.count() == want
 
 
 def test_bucket_pruning_rewrites_only_touched(spark, tmp_table_path):

@@ -1,0 +1,224 @@
+"""Differential test: both lake backends encode ONE merge plan.
+
+``merge_into_sql`` (the statement IcebergLakeTable issues) is executed here by an
+independent ANSI-MERGE interpreter — full-outer join on the parsed ON clause,
+first-matching WHEN clause wins per row — against the SAME event logs applied to
+``ParquetLakeTable.merge``. Final states must be identical, including tombstones
+(the late-lower-LSN-after-delete case) and batch replays.
+
+The interpreter executes the statement's actual clauses, not the builder's
+intent: if merge_into_sql regressed to a hard ``THEN DELETE`` arm, the
+interpreter would faithfully hard-delete and the resurrection assertions below
+would fail. No Iceberg jar is needed — the semantics are what's under test; the
+physical Iceberg execution of the same string is the engine's documented
+deployment path (lake.py IcebergLakeTable).
+"""
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pocket_etl_spark.cdc.dedupe import lww_dedupe
+from pocket_etl_spark.datagen import gen_change_events
+from pocket_etl_spark.lake import ParquetLakeTable, merge_into_sql
+
+KEYS = ["repo", "path"]
+SCHEMA = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+
+
+def _qualify(expr: str) -> str:
+    """Rewrite t.col / s.col references to the joined frame's t_col / s_col."""
+    return re.sub(r"\b([ts])\.([A-Za-z_][A-Za-z0-9_]*)", r"\1_\2", expr)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses/quotes."""
+    parts, depth, cur, in_str = [], 0, [], False
+    for ch in s:
+        if ch == "'":
+            in_str = not in_str
+        elif not in_str:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def run_merge_statement(spark, sql: str, target_df, source_df):
+    """Execute an ANSI MERGE statement with DataFrame ops (the standard MERGE
+    algorithm): rows pair by the ON clause via full-outer join; per row the
+    FIRST WHEN clause (statement order) whose kind+condition holds is applied
+    (UPDATE SET / DELETE / INSERT); unpaired target rows carry through."""
+    m = re.match(r"MERGE INTO \S+ t USING \S+ s ON (.+?) (WHEN .+)$", sql)
+    assert m, sql
+    on_clause, when_str = m.group(1), m.group(2)
+    clauses = re.findall(
+        r"WHEN (MATCHED|NOT MATCHED)(?: AND (.+?))? THEN "
+        r"(UPDATE SET .+?|DELETE|INSERT \(.+?\) VALUES \(.+?\))(?= WHEN |$)",
+        when_str,
+    )
+    assert clauses, sql
+
+    out_cols = target_df.columns
+    t = target_df.select(
+        F.lit(True).alias("t_present"), *[F.col(c).alias(f"t_{c}") for c in out_cols]
+    )
+    s = source_df.select(
+        F.lit(True).alias("s_present"),
+        *[F.col(c).alias(f"s_{c}") for c in source_df.columns],
+    )
+    joined = t.join(s, F.expr(_qualify(on_clause)), "full_outer")
+
+    matched = F.col("t_present").isNotNull() & F.col("s_present").isNotNull()
+    not_matched = F.col("t_present").isNull() & F.col("s_present").isNotNull()
+
+    # which clause fires per row (first match wins); -1 = none
+    decide = None
+    for idx, (kind, cond, _action) in enumerate(clauses):
+        base = matched if kind == "MATCHED" else not_matched
+        c = base if not cond else (base & F.expr(_qualify(cond)))
+        decide = F.when(c, idx) if decide is None else decide.when(c, idx)
+    joined = joined.withColumn("_clause", decide.otherwise(F.lit(-1)))
+
+    # row survives unless: source-only with no INSERT fired, or DELETE fired
+    keep = F.col("t_present").isNotNull() & (F.col("_clause") == -1)
+    for idx, (_kind, _cond, action) in enumerate(clauses):
+        if action != "DELETE":
+            keep = keep | (F.col("_clause") == idx)
+    joined = joined.filter(keep)
+
+    # per-column value: default = target's value; overridden by the fired clause
+    values = {}
+    for c in out_cols:
+        v = F.col(f"t_{c}")
+        for idx, (_kind, _cond, action) in enumerate(clauses):
+            fired = F.col("_clause") == idx
+            if action.startswith("UPDATE SET "):
+                for assign in _split_top_level(action[len("UPDATE SET "):]):
+                    lhs, rhs = assign.split("=", 1)
+                    if lhs.strip() == f"t.{c}":
+                        v = F.when(fired, F.expr(_qualify(rhs.strip()))).otherwise(v)
+            elif action.startswith("INSERT "):
+                am = re.match(r"INSERT \((.+?)\) VALUES \((.+)\)$", action)
+                ins_cols = [x.strip() for x in _split_top_level(am.group(1))]
+                ins_vals = _split_top_level(am.group(2))
+                if c in ins_cols:
+                    rhs = ins_vals[ins_cols.index(c)]
+                    v = F.when(fired, F.expr(_qualify(rhs))).otherwise(v)
+                else:
+                    v = F.when(fired, F.lit(None)).otherwise(v)
+        values[c] = v.alias(c)
+    return joined.select(*[values[c] for c in out_cols])
+
+
+def sql_backend_replay(spark, batches, key_cols=KEYS):
+    """Replay batches through merge_into_sql exactly as IcebergLakeTable would:
+    lww-dedupe each batch, then execute the generated MERGE against the running
+    target state (starting from an empty table with a _deleted column)."""
+    target = None
+    for b in batches:
+        src = lww_dedupe(b, key_cols, lsn_col="lsn", op_col="op")
+        data_cols = [c for c in src.columns if c != "op"]
+        if target is None:
+            empty = spark.createDataFrame([], b.schema).drop("op")
+            target = empty.withColumn("_deleted", F.lit(True))
+        sql = merge_into_sql("t", "s", key_cols, data_cols)
+        # materialize each step (an engine commits per batch; also keeps the
+        # test's plan from growing superlinearly)
+        target = spark.createDataFrame(
+            run_merge_statement(spark, sql, target, src).collect(), target.schema
+        )
+    return target
+
+
+def _state(df, include_tombstones=False) -> pd.DataFrame:
+    """Canonical comparable state: key, payload, lsn, deleted-flag."""
+    if "_deleted" in df.columns:
+        df = df.withColumn("_deleted", F.coalesce(F.col("_deleted"), F.lit(False)))
+    else:
+        df = df.withColumn("_deleted", F.lit(False))
+    if not include_tombstones:
+        df = df.filter(~F.col("_deleted"))
+    pdf = df.select("repo", "path", "commit", "lang", "content", "lsn", "_deleted").toPandas()
+    return pdf.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def _parquet_replay(spark, tmp_path, batches, **kw):
+    table = ParquetLakeTable(spark, str(tmp_path / "pq"), num_buckets=4, **kw)
+    for i, b in enumerate(batches):
+        table.merge(b, batch_id=i)
+    return table
+
+
+def test_backends_agree_on_tombstone_resurrection_case(spark, tmp_path):
+    """The round-1 divergence: insert → delete → late LOWER-LSN update (must
+    stay dead in BOTH backends) → delete of an absent key → higher-LSN revive."""
+    batches = [
+        spark.createDataFrame(
+            [
+                {"lsn": 10, "op": "I", "repo": "r", "path": "p", "commit": "c1", "lang": "py", "content": "v1"},
+                {"lsn": 30, "op": "D", "repo": "r", "path": "p", "commit": None, "lang": None, "content": None},
+                {"lsn": 11, "op": "D", "repo": "r", "path": "absent", "commit": None, "lang": None, "content": None},
+            ],
+            SCHEMA,
+        ),
+        # late, lower-LSN update for the deleted key — must NOT resurrect
+        spark.createDataFrame(
+            [{"lsn": 20, "op": "U", "repo": "r", "path": "p", "commit": "c2", "lang": "py", "content": "v2"}],
+            SCHEMA,
+        ),
+        # and a lower-LSN insert under the absent-key tombstone — must NOT appear
+        spark.createDataFrame(
+            [
+                {"lsn": 5, "op": "I", "repo": "r", "path": "absent", "commit": "c0", "lang": "py", "content": "w0"},
+                {"lsn": 40, "op": "I", "repo": "r", "path": "p", "commit": "c3", "lang": "py", "content": "v3"},
+            ],
+            SCHEMA,
+        ),
+    ]
+    pq = _parquet_replay(spark, tmp_path, [b.drop("ts", "extras") if "ts" in b.columns else b for b in batches])
+    sql_state = sql_backend_replay(spark, batches)
+
+    got_pq = _state(pq.read(include_tombstones=True), include_tombstones=True)
+    got_sql = _state(sql_state, include_tombstones=True)
+    pd.testing.assert_frame_equal(got_pq, got_sql)
+    # and the semantic expectations themselves
+    live = _state(sql_state)
+    assert list(live["path"]) == ["p"] and live["content"][0] == "v3"
+
+
+def test_backends_agree_on_random_log_with_replay(spark, tmp_path):
+    """Random CDC log (inserts/updates/deletes, out-of-order ranges), one batch
+    replayed under a new batch id — final visible state AND tombstone set must
+    match between the parquet merge and the executed MERGE statement."""
+    events = gen_change_events(spark, n_events=1200, n_keys=80, seed=13).drop("ts", "extras")
+    ranges = [(401, 800), (1, 400), (801, 1200), (401, 800)]  # out of order + replay
+    batches = [
+        events.filter((events.lsn >= lo) & (events.lsn <= hi)) for lo, hi in ranges
+    ]
+    pq = _parquet_replay(spark, tmp_path, batches)
+    sql_state = sql_backend_replay(spark, batches)
+    pd.testing.assert_frame_equal(
+        _state(pq.read(include_tombstones=True), include_tombstones=True),
+        _state(sql_state, include_tombstones=True),
+    )
+
+
+def test_sql_merge_replay_is_idempotent(spark, tmp_path):
+    """Applying the same batch twice through the MERGE statement leaves state
+    bit-identical (the LSN guard), so crash-between-merge-and-watermark replays
+    are safe without multi-table transactions."""
+    events = gen_change_events(spark, n_events=600, n_keys=50, seed=29).drop("ts", "extras")
+    once = sql_backend_replay(spark, [events])
+    twice = sql_backend_replay(spark, [events, events])
+    pd.testing.assert_frame_equal(
+        _state(once, include_tombstones=True), _state(twice, include_tombstones=True)
+    )

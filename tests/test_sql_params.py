@@ -1,0 +1,128 @@
+"""Parameterized SQL extraction + unknown-column tunnelling.
+
+Ports the reference's SQL-parameter functional tests, including the
+SQL-injection regression (SqlExtractorFunctionalTest.java:90-119: a hostile
+parameter value must bind as data, never alter the statement), and the
+EtlBeanMapper unknown-column catch-all (EtlBeanMapper.java:46-49,100-112)."""
+
+import pytest
+
+from pocket_etl_spark.etl import BufferLoader, EtlStream
+from pocket_etl_spark.sources import (
+    CsvExtractor,
+    JsonExtractor,
+    SqlExtractor,
+    bind_sql_params,
+    encode_sql_literal,
+    rewrite_hash_params,
+)
+
+ROWS = [
+    {"name": "alice", "role": "admin", "score": 10},
+    {"name": "bob", "role": "user", "score": 7},
+    {"name": "mallory", "role": "user", "score": 1},
+]
+
+
+@pytest.fixture()
+def people(spark):
+    spark.createDataFrame(ROWS).createOrReplaceTempView("people")
+    yield
+    spark.catalog.dropTempView("people")
+
+
+def test_sql_extractor_named_params(spark, people):
+    src = SqlExtractor(
+        "SELECT name, score FROM people WHERE role = #role AND score >= #min_score",
+        args={"role": "user", "min_score": 5},
+    )
+    got = src.to_df(spark).collect()
+    assert [r["name"] for r in got] == ["bob"]
+
+
+def test_sql_extractor_injection_regression(spark, people):
+    """The reference's injection test: a value crafted to escape its literal
+    must be treated as DATA. With ' OR '1'='1 spliced raw, the predicate
+    becomes a tautology and returns all rows — parameter binding must return
+    zero instead."""
+    hostile = "nobody' OR '1'='1"
+    src = SqlExtractor(
+        "SELECT name FROM people WHERE name = #who", args={"who": hostile}
+    )
+    assert src.to_df(spark).count() == 0
+    # sanity: the same value spliced raw WOULD have matched everything
+    tautology = spark.sql(
+        f"SELECT name FROM people WHERE name = '{hostile}'"
+    )
+    assert tautology.count() == len(ROWS)
+
+
+def test_rewrite_hash_params_skips_string_literals():
+    assert (
+        rewrite_hash_params("SELECT '#not_a_param', c FROM t WHERE k = #k")
+        == "SELECT '#not_a_param', c FROM t WHERE k = :k"
+    )
+
+
+def test_bind_sql_params_literal_encoding(spark, people):
+    """The JDBC-path literal binder: hostile quote AND trailing-backslash
+    payloads stay inside their literal when Spark parses the bound statement."""
+    for hostile in ["x' OR '1'='1", "x\\", "x\\' OR 1=1 --"]:
+        bound = bind_sql_params(
+            "SELECT name FROM people WHERE name = #who", {"who": hostile}
+        )
+        assert spark.sql(bound).count() == 0, bound
+    # round-trips normal values and IN-lists
+    bound = bind_sql_params(
+        "SELECT name FROM people WHERE role IN #roles AND score > #n",
+        {"roles": ["user", "ops"], "n": 2},
+    )
+    assert spark.sql(bound).count() == 1
+    with pytest.raises(KeyError):
+        bind_sql_params("SELECT #missing", {})
+
+
+def test_encode_sql_literal_types():
+    assert encode_sql_literal(None) == "NULL"
+    assert encode_sql_literal(True) == "TRUE"
+    assert encode_sql_literal(3) == "3"
+    assert encode_sql_literal("a'b") == "'a''b'"
+    assert encode_sql_literal(["a", 1]) == "('a', 1)"
+
+
+# --- unknown-column tunnelling (EtlBeanMapper secondary-mapper analogue) ---
+
+
+def test_csv_unknown_columns_tunnel_through_pipeline(spark, tmp_path):
+    """An undeclared CSV column survives a two-stage pipeline inside the
+    extras map — the dynamic-Map property of EtlBeanMapper.java:100-112."""
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("name,score,shard\nx,1,s1\ny,2,s2\n")
+    src = CsvExtractor(p, schema="name string, score int", extras_col="extras")
+    buf = BufferLoader()
+    (
+        EtlStream.extract(src)
+        .transform(lambda df: df.filter("score >= 1"), name="keep")
+        .transform(lambda df: df.withColumn("score2", df.score * 2), name="double")
+        .load(buf)
+        .run(spark)
+    )
+    by_name = {r["name"]: r for r in buf.rows}
+    assert by_name["x"]["extras"] == {"shard": "s1"}  # tunnelled through both stages
+    assert by_name["y"]["extras"] == {"shard": "s2"}
+    assert by_name["x"]["score2"] == 2  # declared columns still typed (int math)
+
+
+def test_json_unknown_keys_tunnel(spark, tmp_path):
+    p = str(tmp_path / "in.json")
+    with open(p, "w") as f:
+        f.write('{"name": "x", "score": 3, "region": "eu", "tier": "gold"}\n')
+        f.write('{"name": "y", "score": 4}\n')
+    df = JsonExtractor(
+        p, schema="name string, score int", extras_col="extras"
+    ).to_df(spark)
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["x"]["score"] == 3
+    assert rows["x"]["extras"] == {"region": "eu", "tier": "gold"}
+    assert rows["y"]["extras"] == {}
