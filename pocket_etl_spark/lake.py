@@ -510,6 +510,33 @@ def merge_into_sql(
     )
 
 
+def evolution_ddl(
+    table: str, current: T.StructType, incoming: T.StructType
+) -> list[str]:
+    """Iceberg DDL for schema evolution, as pure statement strings:
+    ``ADD COLUMNS`` for fields the table lacks, ``ALTER COLUMN TYPE`` where the
+    unify_schemas widening lattice (int→long→double, date→timestamp; cdc/
+    evolution.py) promotes an existing column. Metadata-only operations in
+    Iceberg — safe to issue before every merge."""
+    cur = {f.name: f for f in current.fields}
+    adds = [f for f in incoming.fields if f.name not in cur]
+    stmts: list[str] = []
+    if adds:
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in adds)
+        stmts.append(f"ALTER TABLE {table} ADD COLUMNS ({cols})")
+    shared = [f for f in incoming.fields if f.name in cur]
+    unified = unify_schemas(
+        T.StructType([cur[f.name] for f in shared]), T.StructType(shared)
+    )
+    for f in unified.fields:
+        if f.name in cur and cur[f.name].dataType != f.dataType:
+            stmts.append(
+                f"ALTER TABLE {table} ALTER COLUMN {f.name} "
+                f"TYPE {f.dataType.simpleString()}"
+            )
+    return stmts
+
+
 class IcebergLakeTable:
     """MERGE INTO an Iceberg table when a catalog is available (cluster path).
 
@@ -583,26 +610,19 @@ class IcebergLakeTable:
 
     def _evolve_schema(self, updates: DataFrame) -> None:
         """ADD new columns / widen changed ones so the MERGE binds by name —
-        the Iceberg translation of unify_schemas (cdc/evolution.py)."""
-        current = {f.name: f for f in self.spark.table(self.table).schema.fields}
-        incoming = [
-            f for f in updates.schema.fields
-            if f.name not in (self.op_col, self.DELETED_COL)
-        ]
-        adds = [f for f in incoming if f.name not in current]
-        if adds:
-            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in adds)
-            self.spark.sql(f"ALTER TABLE {self.table} ADD COLUMNS ({cols})")
-        unified = unify_schemas(
-            T.StructType([current[f.name] for f in incoming if f.name in current]),
-            T.StructType([f for f in incoming if f.name in current]),
+        the Iceberg translation of unify_schemas (cdc/evolution.py). Statement
+        computation is pure (evolution_ddl, hermetically tested); this method
+        only executes."""
+        incoming = T.StructType(
+            [
+                f for f in updates.schema.fields
+                if f.name not in (self.op_col, self.DELETED_COL)
+            ]
         )
-        for f in unified.fields:
-            if f.name in current and current[f.name].dataType != f.dataType:
-                self.spark.sql(
-                    f"ALTER TABLE {self.table} ALTER COLUMN {f.name} "
-                    f"TYPE {f.dataType.simpleString()}"
-                )
+        for stmt in evolution_ddl(
+            self.table, self.spark.table(self.table).schema, incoming
+        ):
+            self.spark.sql(stmt)
 
     # -- read / merge -----------------------------------------------------
 

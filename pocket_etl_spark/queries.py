@@ -498,6 +498,25 @@ def q_ann_ivf(spark, sf):
     )
 
 
+def q_ann_ivf_indexed(spark, sf):
+    """IVF top-3 against the MATERIALIZED index (cell-partitioned parquet,
+    operators/similarity.ivf_write_index + ivf_topk_indexed): probe scan prunes
+    on the cell partition column — the storage layout for 10^9 vectors. Must
+    return exactly what the in-memory ivf path returns (same oracle)."""
+    import os
+    import tempfile
+
+    from pocket_etl_spark.operators.similarity import ivf_topk_indexed, ivf_write_index
+
+    e = t(spark, sf, "embeddings")
+    idx = os.path.join(tempfile.gettempdir(), f"ivf_idx_{os.path.basename(sf.rstrip('/'))}")
+    ivf_write_index(e.filter("vec_id >= 9"), e.filter("vec_id < 4"), idx)
+    return ivf_topk_indexed(
+        spark, idx, e.filter("vec_id between 4 and 8"), e.filter("vec_id < 4"),
+        k=3, n_probe=2,
+    )
+
+
 def q_text_quality(spark, sf):
     """Per-document quality features (operators/text.quality_features)."""
     from pocket_etl_spark.operators.text import quality_features
@@ -542,6 +561,34 @@ _SHINGLE_CTE = """
         sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
                FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS t(i))
 """
+
+ORACLE_IVF = """
+        WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
+        allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cos_c AS (SELECT a.vec_id, cid,
+                         list_dot_product(v, cv) /
+                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos
+                  FROM allv a, cent),
+        cells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+                      SELECT vec_id, cid,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                      FROM cos_c WHERE vec_id >= 9) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+                      SELECT vec_id, cid,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                      FROM cos_c WHERE vec_id BETWEEN 4 AND 8) WHERE rn <= 2),
+        cand AS (SELECT DISTINCT query_id, neighbor_id
+                 FROM probes JOIN cells USING (cell)),
+        scored AS (SELECT query_id, neighbor_id,
+                          list_dot_product(q.v, c.v) /
+                          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+                   FROM cand JOIN allv q ON q.vec_id = query_id
+                             JOIN allv c ON c.vec_id = neighbor_id)
+        SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored) WHERE rank <= 3
+    """
 
 ORACLE_SQL: dict[str, str] = {
     "dedup_exact": """
@@ -634,33 +681,8 @@ ORACLE_SQL: dict[str, str] = {
                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored) WHERE rank <= 3
     """,
-    "ann_ivf": """
-        WITH cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 4),
-        allv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        cos_c AS (SELECT a.vec_id, cid,
-                         list_dot_product(v, cv) /
-                         (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS cos
-                  FROM allv a, cent),
-        cells AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
-                      SELECT vec_id, cid,
-                             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-                      FROM cos_c WHERE vec_id >= 9) WHERE rn = 1),
-        probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
-                      SELECT vec_id, cid,
-                             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-                      FROM cos_c WHERE vec_id BETWEEN 4 AND 8) WHERE rn <= 2),
-        cand AS (SELECT DISTINCT query_id, neighbor_id
-                 FROM probes JOIN cells USING (cell)),
-        scored AS (SELECT query_id, neighbor_id,
-                          list_dot_product(q.v, c.v) /
-                          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-                   FROM cand JOIN allv q ON q.vec_id = query_id
-                             JOIN allv c ON c.vec_id = neighbor_id)
-        SELECT query_id, rank, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-            FROM scored) WHERE rank <= 3
-    """,
+    "ann_ivf": ORACLE_IVF,
+    "ann_ivf_indexed": ORACLE_IVF,
     "text_quality": """
         WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
@@ -946,6 +968,7 @@ QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_indexed": q_ann_ivf_indexed,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,

@@ -147,6 +147,27 @@ def test_hot_bucket_write_splits_into_file_slices(spark, tmp_table_path):
     assert got.count() == want
 
 
+def test_evolution_ddl_statements():
+    """Iceberg schema-evolution DDL (pure): new columns ADD, widened columns
+    ALTER TYPE, identical columns untouched."""
+    from pyspark.sql import types as T
+
+    from pocket_etl_spark.lake import evolution_ddl
+
+    def _st(**cols):
+        return T.StructType([T.StructField(k, v) for k, v in cols.items()])
+
+    current = _st(repo=T.StringType(), path=T.StringType(), lsn=T.LongType(), score=T.IntegerType())
+    incoming = _st(repo=T.StringType(), path=T.StringType(), lsn=T.LongType(), score=T.LongType(), stars=T.IntegerType())
+    stmts = evolution_ddl("cat.db.t", current, incoming)
+    assert stmts == [
+        "ALTER TABLE cat.db.t ADD COLUMNS (stars int)",
+        "ALTER TABLE cat.db.t ALTER COLUMN score TYPE bigint",
+    ]
+    # no-op when schemas already agree
+    assert evolution_ddl("cat.db.t", incoming, incoming) == []
+
+
 def test_bucket_pruning_rewrites_only_touched(spark, tmp_table_path):
     """A batch touching one key rewrites only that key's bucket — the
     copy-on-write bound that keeps write amplification O(batch), not O(table)."""

@@ -136,3 +136,31 @@ def test_winnow_fingerprints_overlap_on_shared_substrings(spark):
     sim13 = len(out[1] & out[3]) / len(out[1] | out[3])
     assert sim12 > 0.6
     assert sim13 < 0.05
+
+
+def test_ivf_indexed_matches_inmemory_and_prunes_partitions(spark, tmp_path):
+    """The materialized IVF index (cell-partitioned parquet) must return the
+    same top-k as the in-memory ivf_topk, and the probe scan must prune on the
+    cell PARTITION column (the 10^9-vector read-volume bound)."""
+    from pocket_etl_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+    from pocket_etl_spark.plans import plan_facts
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids = e.filter("vec_id < 4")
+    queries = e.filter("vec_id between 4 and 8")
+    corpus = e.filter("vec_id >= 9")
+
+    idx = str(tmp_path / "ivf_index")
+    ivf_write_index(corpus, centroids, idx)
+
+    got = ivf_topk_indexed(spark, idx, queries, centroids, k=3, n_probe=2)
+    want = ivf_topk(corpus, queries, centroids, k=3, n_probe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # partition pruning reaches the index scan
+    f = plan_facts(got)
+    assert "PartitionFilters" in f.text and "cell" in f.text, f.text[:3000]

@@ -76,3 +76,51 @@ def test_fanout_explode_no_shuffle(spark):
 def test_sort_limit_is_top_k_not_global_sort(spark):
     f = plan_facts(QUERIES["sort_limit"](spark, SF))
     assert "TakeOrderedAndProject" in f.text, f.text
+
+
+def test_ngram_jaccard_gated_plan_has_doc_freq_cap(spark):
+    """The oracle-gated Jaccard config must carry the doc-frequency cap: a
+    count-aggregate + <=128 filter gating the shingle self-join, so one hot
+    shingle can never make the join quadratic at scale."""
+    f = plan_facts(QUERIES["dedup_ngram_jaccard"](spark, SF))
+    assert "_df" in f.text and "128" in f.text, f.text[:3000]
+    assert "CartesianProduct" not in f.text, f.text[:2000]
+
+
+def test_embedding_lsh_gated_plan_is_bucketed_not_all_pairs(spark):
+    """The gated embedding near-dup uses hyperplane buckets: candidate join is
+    an EQUI join on the bucket (hash/broadcast-hash), never the nested-loop
+    all-pairs the unbucketed variant degrades to."""
+    def equi_joins(f):
+        return (
+            f.text.count("BroadcastHashJoin")
+            + f.text.count("SortMergeJoin")
+            + f.text.count("ShuffledHashJoin")
+        )
+
+    f = plan_facts(QUERIES["dedup_embedding_lsh"](spark, SF))
+    assert "CartesianProduct" not in f.text, f.text[:2000]
+    # candidate pairing is an EQUI join on the bucket (the only acceptable
+    # nested-loop is the tiny vectorxplanes broadcast inside bucketing)
+    assert equi_joins(f) >= 1, f.text[:3000]
+    # contrast: the unbucketed variant has NO equi join anywhere — it is the
+    # documented all-pairs nested loop (test-scale only)
+    f_all = plan_facts(QUERIES["dedup_embedding"](spark, SF))
+    assert equi_joins(f_all) == 0, f_all.text[:3000]
+
+
+def test_hot_bucket_merge_write_has_slice_repartition(spark, tmp_path):
+    """A merge whose batch touches one bucket must repartition the write on
+    (bucket, slice) — the hot-bucket rewrite stays core-parallel."""
+    from pocket_etl_spark.datagen import gen_change_events
+    from pocket_etl_spark.lake import ParquetLakeTable
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), num_buckets=1, files_per_bucket=4)
+    ev = gen_change_events(spark, 500, 50, seed=3).drop("ts", "extras")
+    res = table.merge(ev, batch_id=0)
+    # physical evidence: >1 part file in the single touched bucket
+    import os
+
+    bucket_dir = os.path.join(str(tmp_path / "t"), "data", f"v{res.version:012d}", "_bucket=0")
+    parts = [p for p in os.listdir(bucket_dir) if p.endswith(".parquet")]
+    assert len(parts) >= 2, parts

@@ -68,3 +68,55 @@ def _wait_batches(q, n, timeout=60):
             return
         time.sleep(0.5)
     raise AssertionError(f"stream did not reach {n} data batches")
+
+
+def test_streaming_drop_redeliveries(spark, tmp_path):
+    """Source-side duplicate elimination (SqsExtractor.java:190-232 analogue):
+    an exact re-delivery (same key+lsn) arriving within the watermark delay is
+    dropped; a genuinely new event for the same key passes."""
+    from pocket_etl_spark.streaming.dedupe import drop_redeliveries
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "repo string, path string, lsn long, ts timestamp"
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "repo string, path string, lsn long, ts_s string").select(
+            "repo", "path", "lsn", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(os.path.join(src, name))
+
+    write_batch("b1", [("r", "p", 1, "2024-01-01 10:00:00"), ("r", "p", 2, "2024-01-01 10:00:05")])
+
+    stream = drop_redeliveries(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/*"),
+        key_cols=["repo", "path"], delay="10 minutes",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _wait_batches(q, 1)
+        # re-deliver lsn 2 verbatim (at-least-once) + one genuinely new event
+        write_batch("b2", [("r", "p", 2, "2024-01-01 10:00:05"), ("r", "p", 3, "2024-01-01 10:00:10")])
+        _wait_batches(q, 2)
+    finally:
+        q.stop()
+
+    rows = sorted((r["repo"], r["path"], r["lsn"]) for r in spark.table("dedup_out").collect())
+    assert rows == [("r", "p", 1), ("r", "p", 2), ("r", "p", 3)]  # lsn 2 exactly once
+
+
+def test_batch_drop_redeliveries_plain_dedup(spark):
+    from pocket_etl_spark.streaming.dedupe import drop_redeliveries
+
+    df = spark.createDataFrame(
+        [("r", "p", 1, None), ("r", "p", 1, None), ("r", "q", 1, None)],
+        "repo string, path string, lsn long, ts timestamp",
+    )
+    assert drop_redeliveries(df, key_cols=["repo", "path"]).count() == 2
