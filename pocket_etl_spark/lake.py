@@ -176,7 +176,12 @@ class ParquetLakeTable:
         man = self._manifest(v)
         schema = T.StructType.fromJson(json.loads(man["schema"]))
         stored = T.StructType(
-            schema.fields + [T.StructField("_deleted", T.BooleanType(), True)]
+            schema.fields
+            + [
+                T.StructField("_deleted", T.BooleanType(), True),
+                # commit version that last changed the row (change-feed cursor)
+                T.StructField("_version", T.LongType(), True),
+            ]
         )
         wanted = {str(b) for b in buckets} if buckets is not None else None
         dirs = [
@@ -190,7 +195,44 @@ class ParquetLakeTable:
             df = self.spark.read.schema(stored).parquet(*dirs)
         if include_tombstones:
             return df
-        return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+        return (
+            df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            .drop("_deleted", "_version")
+        )
+
+    def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed: every row whose last change committed in
+        ``(since_version, to_version]`` — the engine's Delta-CDF / Iceberg
+        changelog analogue, so downstream pipelines consume the lake
+        INCREMENTALLY instead of re-scanning snapshots.
+
+        Output = data columns + ``_change_type`` ('upsert' | 'delete') +
+        ``_commit_version``. Scale design: the scan is pruned to buckets whose
+        pointer moved between the two manifests, and within a rewritten bucket
+        the per-row ``_version`` stamp filters out rows that were merely
+        carried through the copy-on-write rewrite — an unchanged key is never
+        emitted, and a late lower-LSN event that LOST its merge produces no
+        change row (the stored winner keeps its original stamp)."""
+        to_v = self.current_version() if to_version is None else to_version
+        since_man = self._manifest(since_version)["buckets"]
+        to_man = self._manifest(to_v)["buckets"]
+        changed = [
+            int(b) for b, rel in to_man.items() if since_man.get(b) != rel
+        ]
+        df = self.read(version=to_v, buckets=changed, include_tombstones=True)
+        return (
+            df.filter(
+                F.coalesce(F.col("_version"), F.lit(0)) > F.lit(since_version)
+            )
+            .withColumn(
+                "_change_type",
+                F.when(
+                    F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("delete")
+                ).otherwise(F.lit("upsert")),
+            )
+            .withColumnRenamed("_version", "_commit_version")
+            .drop("_deleted")
+        )
 
     # ---------- merge (the CDC apply core) ----------
 
@@ -271,7 +313,7 @@ class ParquetLakeTable:
         current = conform_to(
             self.read(version=cur_version, buckets=touched, include_tombstones=True),
             new_schema,
-            keep_extra=["_deleted"],
+            keep_extra=["_deleted", "_version"],
         )
 
         # MERGE as union + second LWW pass: current rows enter with their stored lsn
@@ -282,15 +324,24 @@ class ParquetLakeTable:
         # the delete's LSN) so out-of-order/late lower-LSN events cannot resurrect a
         # deleted key — the streaming refinement of the reference's
         # delete-then-insert merge.
+        new_version = cur_version + 1
         data_cols = [f.name for f in new_schema.fields]
+        # _version rides through the merge: current rows keep their stamp, NULL
+        # for incoming events; after winner selection NULL coalesces to the new
+        # commit version — so a row's stamp moves iff an incoming event won
+        # (the change-feed contract of read_changes).
         cur_tagged = current.select(
             *data_cols,
             F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D"))
             .otherwise(F.lit(None).cast("string"))
             .alias(self.op_col),
             F.lit(0).alias("_src"),
+            F.col("_version"),
         )
-        upd_tagged = winners.select(*data_cols, F.col(self.op_col), F.lit(1).alias("_src"))
+        upd_tagged = winners.select(
+            *data_cols, F.col(self.op_col), F.lit(1).alias("_src"),
+            F.lit(None).cast("long").alias("_version"),
+        )
         combined = cur_tagged.unionByName(upd_tagged)
 
         # The argmax ordering (lsn, op_rank, src) packs into ONE long:
@@ -331,7 +382,7 @@ class ParquetLakeTable:
             merged = (
                 keyed.join(right, on=[*self.key_cols, "_ord"], how="inner")
                 .dropDuplicates([*self.key_cols, "_ord"])
-                .select(*data_cols, self.op_col)
+                .select(*data_cols, self.op_col, "_version")
             )
         else:
             # One-pass fallback: max_by over the packed ordering. SortAggregate
@@ -343,6 +394,7 @@ class ParquetLakeTable:
                         F.struct(
                             *[c for c in data_cols if c not in self.key_cols],
                             self.op_col,
+                            "_version",
                         ),
                         F.col("_ord"),
                     ).alias("_w")
@@ -351,6 +403,9 @@ class ParquetLakeTable:
             )
         merged = (
             merged.withColumn("_deleted", F.col(self.op_col) == "D")
+            .withColumn(
+                "_version", F.coalesce(F.col("_version"), F.lit(new_version))
+            )
             .drop(self.op_col)
             .withColumn("_bucket", self._bucket_expr())
         )
@@ -360,7 +415,6 @@ class ParquetLakeTable:
         # fewer buckets than there are cores (the hot-bucket case), each bucket
         # splits into ``slices`` files so the rewrite stays core-parallel
         # instead of serializing on one task per bucket.
-        new_version = cur_version + 1
         rel_dir = os.path.join(_DATA, f"v{new_version:012d}")
         out_dir = os.path.join(self.path, rel_dir)
         if self.files_per_bucket == "auto":
@@ -423,7 +477,11 @@ class ParquetLakeTable:
         rel_dir = os.path.join(_DATA, f"v{new_version:012d}")
         out_dir = os.path.join(self.path, rel_dir)
         schema = T.StructType([f for f in df.schema.fields if f.name != self.op_col])
-        with_bucket = df.drop(self.op_col).withColumn("_bucket", self._bucket_expr())
+        with_bucket = (
+            df.drop(self.op_col)
+            .withColumn("_version", F.lit(new_version))
+            .withColumn("_bucket", self._bucket_expr())
+        )
         with_bucket.repartition(self.num_buckets, "_bucket").write.mode(
             "overwrite"
         ).partitionBy("_bucket").parquet(out_dir)

@@ -178,3 +178,45 @@ def test_bucket_pruning_rewrites_only_touched(spark, tmp_table_path):
     schema = "lsn long, op string, repo string, path string, commit string, lang string, content string"
     res = table.merge(spark.createDataFrame(one, schema), batch_id=1)
     assert len(res.touched_buckets) == 1
+
+
+def test_change_data_feed_incremental_consumption(spark, tmp_table_path):
+    """read_changes(since, to): emits exactly the keys whose winner changed in
+    (since, to] with upsert/delete change types; keys merely carried through a
+    bucket rewrite are NOT emitted, and a late lower-LSN loser produces no
+    change row — the Delta-CDF/Iceberg-changelog analogue for downstream
+    incremental consumers."""
+    schema = "lsn long, op string, repo string, path string, commit string, lang string, content string"
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=1)  # one bucket: every merge rewrites it
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [dict(zip(("lsn", "op", "repo", "path", "commit", "lang", "content"), s)) for s in specs],
+            schema,
+        )
+
+    table.merge(rows((10, "I", "r", "a", "c1", "py", "va"), (11, "I", "r", "b", "c1", "py", "vb")), batch_id=0)
+    v1 = table.current_version()
+    table.merge(rows((20, "U", "r", "a", "c2", "py", "va2"), (21, "D", "r", "b", None, None, None)), batch_id=1)
+    v2 = table.current_version()
+    # batch 3: late LOWER-lsn update for 'a' (loses) + brand-new key 'c'
+    table.merge(rows((15, "U", "r", "a", "cx", "py", "old"), (30, "I", "r", "c", "c3", "py", "vc")), batch_id=2)
+    v3 = table.current_version()
+
+    # changes since v1: a upserted (v2), b deleted (v2), c inserted (v3).
+    ch = {r["path"]: r for r in table.read_changes(v1).collect()}
+    assert set(ch) == {"a", "b", "c"}
+    assert ch["a"]["_change_type"] == "upsert" and ch["a"]["content"] == "va2"
+    assert ch["a"]["_commit_version"] == v2  # late loser in v3 did NOT move the stamp
+    assert ch["b"]["_change_type"] == "delete" and ch["b"]["lsn"] == 21
+    assert ch["c"]["_change_type"] == "upsert" and ch["c"]["_commit_version"] == v3
+
+    # cursor window (v2, v3]: only the v3 change appears, even though the
+    # single bucket was fully rewritten in v3 (per-row stamps, not file diffs)
+    ch23 = {r["path"]: r for r in table.read_changes(v2, v3).collect()}
+    assert set(ch23) == {"c"}
+
+    # full-history cursor from 0 = current state incl. the tombstone
+    assert {(r["path"], r["_change_type"]) for r in table.read_changes(0).collect()} == {
+        ("a", "upsert"), ("b", "delete"), ("c", "upsert"),
+    }
