@@ -1,0 +1,73 @@
+"""Change-feed consumption: a durable cursor over ``ParquetLakeTable.read_changes``.
+
+The lake side (lake.py) gives incremental reads by commit version; this module
+gives downstream pipelines the consume loop: poll the window since the last
+committed cursor, process it, commit the new position. At-least-once by
+construction — a crash between processing and ``commit()`` re-delivers the same
+window on restart, and because change rows are keyed LWW facts (upsert/delete
+with commit version), re-applying them downstream is idempotent — the same
+replay-safety argument as the ingest side's batch-id fencing (lake.py merge).
+
+This mirrors how the reference's SQS extractor consumes its queue: claim a
+batch, process, delete-on-commit (SqsExtractor.java:115-126,239-247) — with the
+lake's version counter playing the queue cursor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+
+class ChangeFeedCursor:
+    """Durable position over a lake table's change feed, one per consumer id.
+
+    Usage::
+
+        cur = ChangeFeedCursor(table, "/path/cursor.json")
+        df, upto = cur.poll()
+        if df is not None:
+            ... process df ...      # downstream write (idempotent)
+            cur.commit(upto)        # advance only after success
+    """
+
+    def __init__(self, table, cursor_path: str, consumer_id: str = "default") -> None:
+        self.table = table
+        self.cursor_path = cursor_path
+        self.consumer_id = consumer_id
+
+    def _read_state(self) -> dict:
+        try:
+            with open(self.cursor_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def position(self) -> int:
+        """Last committed version (0 = consume from the beginning)."""
+        return int(self._read_state().get(self.consumer_id, 0))
+
+    def poll(self) -> tuple[DataFrame | None, int]:
+        """Changes in (position, current_version], plus the version to commit
+        after processing. Returns (None, position) when there is nothing new."""
+        since = self.position()
+        upto = self.table.current_version()
+        if upto <= since:
+            return None, since
+        return self.table.read_changes(since, upto), upto
+
+    def commit(self, version: int) -> None:
+        """Atomically advance the cursor (os.replace, same pattern as the
+        lake's pointer swap). Never moves backwards."""
+        state = self._read_state()
+        if version <= int(state.get(self.consumer_id, 0)):
+            return
+        state[self.consumer_id] = int(version)
+        tmp = f"{self.cursor_path}.tmp.{uuid.uuid4().hex}"
+        os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.cursor_path)

@@ -503,6 +503,52 @@ class ParquetLakeTable:
         )
         return MergeResult(True, new_version, None, sorted(int(b) for b in buckets), {})
 
+    def compact(self, max_files_per_bucket: int = 1) -> MergeResult:
+        """Small-file compaction (Iceberg: rewrite_data_files). Hot-bucket
+        write slicing and repeated merges can leave several part files per
+        bucket; compaction rewrites any bucket exceeding
+        ``max_files_per_bucket`` into that many files and commits a new
+        snapshot. Row content — including tombstones and the per-row
+        ``_version`` change-feed stamps — is preserved byte-for-byte, so
+        ``read_changes`` across a compaction emits NOTHING for compacted
+        buckets (pointer moved, stamps did not). Untouched buckets carry
+        forward by reference, same as merge."""
+        cur_version = self.current_version()
+        man = self._manifest(cur_version)
+        needs = []
+        for b, rel in man["buckets"].items():
+            d = os.path.join(self.path, rel)
+            n_files = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            if n_files > max_files_per_bucket:
+                needs.append(int(b))
+        if not needs:
+            return MergeResult(False, cur_version, None, [], {"compacted": 0})
+        df = self.read(version=cur_version, buckets=needs, include_tombstones=True)
+        new_version = cur_version + 1
+        rel_dir = os.path.join(_DATA, f"v{new_version:012d}")
+        out_dir = os.path.join(self.path, rel_dir)
+        (
+            df.withColumn("_bucket", self._bucket_expr())
+            .repartition(len(needs) * max_files_per_bucket, "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_buckets = dict(man["buckets"])
+        for b in needs:
+            new_buckets[str(b)] = os.path.join(rel_dir, f"_bucket={b}")
+        self._commit(
+            {
+                "version": new_version,
+                "parent": cur_version,
+                "schema": man["schema"],
+                "buckets": new_buckets,
+                "watermarks": {**man["watermarks"]},
+                "stats": {"compacted_buckets": len(needs)},
+            }
+        )
+        return MergeResult(True, new_version, None, needs, {"compacted": len(needs)})
+
     def vacuum(self, keep_versions: int = 2) -> int:
         """Drop data directories unreachable from the last ``keep_versions``
         manifests (Iceberg: expire_snapshots)."""

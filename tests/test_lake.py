@@ -220,3 +220,68 @@ def test_change_data_feed_incremental_consumption(spark, tmp_table_path):
     assert {(r["path"], r["_change_type"]) for r in table.read_changes(0).collect()} == {
         ("a", "upsert"), ("b", "delete"), ("c", "upsert"),
     }
+
+
+def test_compaction_preserves_state_and_change_feed(spark, tmp_table_path):
+    """compact() rewrites multi-file buckets into one file per bucket without
+    changing any row: snapshot identical, and read_changes across the
+    compaction emits nothing (pointer moved, per-row stamps did not)."""
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=1, files_per_bucket=4)
+    ev = _events(spark, n=1000, keys=100).drop("ts", "extras")
+    table.merge(ev, batch_id=0)
+    v1 = table.current_version()
+    man_rel = f"data/v{v1:012d}/_bucket=0"
+    n_before = len([f for f in os.listdir(os.path.join(tmp_table_path, man_rel)) if f.endswith(".parquet")])
+    assert n_before >= 2  # slicing produced the small files to compact
+    before = sorted(map(tuple, table.read().collect()))
+
+    res = table.compact(max_files_per_bucket=1)
+    assert res.committed and res.stats["compacted"] == 1
+    new_rel = f"data/v{res.version:012d}/_bucket=0"
+    n_after = len([f for f in os.listdir(os.path.join(tmp_table_path, new_rel)) if f.endswith(".parquet")])
+    assert n_after == 1
+    assert sorted(map(tuple, table.read().collect())) == before
+    # change feed is silent across a compaction
+    assert table.read_changes(v1).count() == 0
+    # idempotent: nothing left to compact
+    assert not table.compact(max_files_per_bucket=1).committed
+    # merges keep working on the compacted snapshot
+    more = _events(spark, n=50, keys=10, seed=8).drop("ts", "extras")
+    table.merge(more, batch_id=1)
+    assert table.read().count() > 0
+
+
+def test_change_feed_cursor_at_least_once(spark, tmp_table_path, tmp_path):
+    """ChangeFeedCursor: poll/commit consume loop; a crash before commit
+    re-delivers the same window (at-least-once), committed windows never
+    re-deliver, independent consumer ids hold independent positions."""
+    from pocket_etl_spark.cdc.feed import ChangeFeedCursor
+
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=2)
+    ev = _events(spark, n=400, keys=40).drop("ts", "extras")
+    table.merge(ev.filter("lsn <= 200"), batch_id=0)
+
+    cur = ChangeFeedCursor(table, str(tmp_path / "cursor.json"))
+    df, upto = cur.poll()
+    first = df.count()
+    assert first > 0 and upto == table.current_version()
+
+    # crash before commit: the SAME window re-delivers
+    df2, upto2 = cur.poll()
+    assert upto2 == upto and df2.count() == first
+
+    cur.commit(upto)
+    assert cur.poll() == (None, upto)  # nothing new after commit
+
+    # new merge → only the new window appears
+    table.merge(ev.filter("lsn > 200"), batch_id=1)
+    df3, upto3 = cur.poll()
+    assert upto3 == table.current_version()
+    changed = {(r["repo"], r["path"]) for r in df3.select("repo", "path").collect()}
+    assert df3.filter(f"_commit_version <= {upto}").count() == 0  # no replay of committed
+    assert changed  # second batch touched keys
+
+    # a second consumer id starts from the beginning independently
+    cur_b = ChangeFeedCursor(table, str(tmp_path / "cursor.json"), consumer_id="b")
+    df_b, _ = cur_b.poll()
+    assert df_b.count() >= df3.count()
