@@ -304,6 +304,7 @@ class ParquetLakeTable:
             # Still advance the watermark so the empty batch is fenced on replay.
             new_man = dict(man)
             new_man["version"] = cur_version + 1
+            new_man["parent"] = cur_version  # keep the manifest chain contiguous
             new_man["watermarks"] = {**man["watermarks"]}
             if batch_id is not None:
                 new_man["watermarks"][query_id] = batch_id
@@ -527,13 +528,25 @@ class ParquetLakeTable:
         new_version = cur_version + 1
         rel_dir = os.path.join(_DATA, f"v{new_version:012d}")
         out_dir = os.path.join(self.path, rel_dir)
-        (
-            df.withColumn("_bucket", self._bucket_expr())
-            .repartition(len(needs) * max_files_per_bucket, "_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        bucketed = df.withColumn("_bucket", self._bucket_expr())
+        if max_files_per_bucket > 1:
+            # repartition(n, "_bucket") alone hashes ALL of a bucket's rows into
+            # one partition — the >1 contract needs the same key-salted _slice
+            # the merge writer uses to spread one bucket across several files.
+            writer = (
+                bucketed.withColumn(
+                    "_slice",
+                    F.pmod(
+                        F.xxhash64(F.lit("_slice"), *self.key_cols),
+                        F.lit(max_files_per_bucket),
+                    ),
+                )
+                .repartition(len(needs) * max_files_per_bucket, "_bucket", "_slice")
+                .drop("_slice")
+            )
+        else:
+            writer = bucketed.repartition(len(needs), "_bucket")
+        writer.write.mode("overwrite").partitionBy("_bucket").parquet(out_dir)
         new_buckets = dict(man["buckets"])
         for b in needs:
             new_buckets[str(b)] = os.path.join(rel_dir, f"_bucket={b}")
@@ -576,6 +589,8 @@ def merge_into_sql(
     lsn_col: str = LSN_COL,
     op_col: str = OP_COL,
     deleted_col: str = "_deleted",
+    version_col: str | None = None,
+    version: int | None = None,
 ) -> str:
     """ANSI MERGE INTO statement with the same semantics as ParquetLakeTable.merge —
     the statement IcebergLakeTable executes. Shared so both backends provably encode
@@ -593,19 +608,34 @@ def merge_into_sql(
     lsn the incoming event wins (src tiebreak — stored non-deleted rows carry
     op-rank 0) UNLESS the stored row is a tombstone (op-rank 3) and the
     incoming op is not 'D'. Replaying any batch is therefore a semantic no-op —
-    idempotence holds even without fencing."""
+    idempotence holds even without fencing.
+
+    ``version_col``/``version``: change-feed stamp (the parquet backend's
+    per-row ``_version``, lake.py merge) — every row an incoming event WINS is
+    stamped with the committing version, rows the guard protects keep their old
+    stamp, so ``SELECT ... WHERE {version_col} > :since`` is exactly
+    ``read_changes``. The stamp is an integer literal controlled by the engine
+    (never user input)."""
     on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
     non_key = [c for c in data_cols if c not in key_cols]
     guard = (
         f"(s.{lsn_col} > t.{lsn_col} OR (s.{lsn_col} = t.{lsn_col} "
         f"AND (NOT t.{deleted_col} OR s.{op_col} = 'D')))"
     )
-    sets = ", ".join(
-        [f"t.{c} = s.{c}" for c in non_key] + [f"t.{deleted_col} = (s.{op_col} = 'D')"]
-    )
-    cols = ", ".join(key_cols + non_key + [deleted_col])
+    set_items = [f"t.{c} = s.{c}" for c in non_key] + [
+        f"t.{deleted_col} = (s.{op_col} = 'D')"
+    ]
+    extra_cols: list[str] = []
+    extra_vals: list[str] = []
+    if version_col is not None:
+        stamp = str(int(version))
+        set_items.append(f"t.{version_col} = {stamp}")
+        extra_cols.append(version_col)
+        extra_vals.append(stamp)
+    sets = ", ".join(set_items)
+    cols = ", ".join(key_cols + non_key + [deleted_col] + extra_cols)
     vals = ", ".join(
-        [f"s.{c}" for c in key_cols + non_key] + [f"(s.{op_col} = 'D')"]
+        [f"s.{c}" for c in key_cols + non_key] + [f"(s.{op_col} = 'D')"] + extra_vals
     )
     return (
         f"MERGE INTO {target} t USING {source_view} s ON {on} "
@@ -665,9 +695,22 @@ class IcebergLakeTable:
     - schema evolution: new/widened batch columns become ``ALTER TABLE ADD
       COLUMNS`` / ``ALTER COLUMN TYPE`` before the merge (Iceberg metadata-only
       operations), mirroring unify_schemas on the parquet manifest.
+    - change feed: every merge stamps the rows an incoming event won with a
+      monotone engine commit version (``_version``, written by the MERGE's
+      UPDATE/INSERT arms — merge_into_sql version_col); the version counter
+      rides in the watermark table. ``read_changes`` is then a plain filter
+      ``_version > since`` — Iceberg/parquet min-max file stats prune data
+      files whose rows all predate the window, so consuming the feed does not
+      rescan cold data. Same cursor API (``ChangeFeedCursor``) as the parquet
+      backend; differential-tested in tests/test_merge_sql_differential.py.
+      At-least-once caveat: a crash between the MERGE and the watermark append
+      replays the batch, and equal-LSN replays re-stamp the same rows with the
+      next version — feed consumers see those rows twice (idempotent keyed
+      facts, so downstream re-apply is safe).
     """
 
     DELETED_COL = "_deleted"
+    VERSION_COL = "_version"
 
     def __init__(
         self,
@@ -677,6 +720,7 @@ class IcebergLakeTable:
         lsn_col: str = LSN_COL,
         op_col: str = OP_COL,
         num_buckets: int = 16,
+        table_format: str = "iceberg",
     ) -> None:
         self.spark = spark
         self.table = table
@@ -684,6 +728,11 @@ class IcebergLakeTable:
         self.lsn_col = lsn_col
         self.op_col = op_col
         self.num_buckets = num_buckets
+        # ``table_format`` parameterizes the USING clause of engine-created
+        # tables. Deployment default is iceberg; tests exercise the watermark /
+        # fencing SQL hermetically with "parquet" (plain CREATE/INSERT/SELECT —
+        # identical statements, no Iceberg jar needed).
+        self.table_format = table_format
 
     # -- watermark fencing ------------------------------------------------
 
@@ -693,21 +742,43 @@ class IcebergLakeTable:
     def last_batch_id(self, query_id: str = "default") -> int:
         if not self.spark.catalog.tableExists(self._watermark_table()):
             return -1
+        # query_id binds as a named parameter — the analyzer substitutes it as a
+        # literal AFTER parsing, so a hostile id (quotes, backslashes) can never
+        # alter the statement (same guarantee as SqlExtractor, sources/__init__.py).
         row = self.spark.sql(
             f"SELECT max(batch_id) AS b FROM {self._watermark_table()} "
-            f"WHERE query_id = '{query_id}'"
+            "WHERE query_id = :qid",
+            args={"qid": query_id},
         ).collect()[0]
         return -1 if row["b"] is None else int(row["b"])
 
-    def _advance_watermark(self, query_id: str, batch_id: int) -> None:
+    def current_version(self) -> int:
+        """Engine commit counter (the parquet backend's manifest version):
+        max committed version in the watermark table; 0 before the first merge."""
+        if not self.spark.catalog.tableExists(self._watermark_table()):
+            return 0
+        row = self.spark.sql(
+            f"SELECT max(version) AS v FROM {self._watermark_table()}"
+        ).collect()[0]
+        return 0 if row["v"] is None else int(row["v"])
+
+    def _advance_watermark(
+        self, query_id: str | None, batch_id: int | None, version: int
+    ) -> None:
         wt = self._watermark_table()
         if not self.spark.catalog.tableExists(wt):
             self.spark.sql(
-                f"CREATE TABLE {wt} (query_id STRING, batch_id BIGINT) USING iceberg"
+                f"CREATE TABLE {wt} (query_id STRING, batch_id BIGINT, "
+                f"version BIGINT) USING {self.table_format}"
             )
         # append-only; readers take max — duplicate appends from replays are harmless
         self.spark.sql(
-            f"INSERT INTO {wt} VALUES ('{query_id}', {int(batch_id)})"
+            f"INSERT INTO {wt} VALUES (:qid, :bid, :ver)",
+            args={
+                "qid": query_id,
+                "bid": None if batch_id is None else int(batch_id),
+                "ver": int(version),
+            },
         )
 
     # -- schema evolution -------------------------------------------------
@@ -720,13 +791,24 @@ class IcebergLakeTable:
         incoming = T.StructType(
             [
                 f for f in updates.schema.fields
-                if f.name not in (self.op_col, self.DELETED_COL)
+                if f.name not in (self.op_col, self.DELETED_COL, self.VERSION_COL)
             ]
         )
         for stmt in evolution_ddl(
             self.table, self.spark.table(self.table).schema, incoming
         ):
             self.spark.sql(stmt)
+        # meta columns for tables created outside this engine (bootstrap adds them)
+        have = {f.name for f in self.spark.table(self.table).schema.fields}
+        meta = [
+            (self.DELETED_COL, "boolean"),
+            (self.VERSION_COL, "bigint"),
+        ]
+        missing = [f"{c} {t}" for c, t in meta if c not in have]
+        if missing:
+            self.spark.sql(
+                f"ALTER TABLE {self.table} ADD COLUMNS ({', '.join(missing)})"
+            )
 
     # -- read / merge -----------------------------------------------------
 
@@ -736,7 +818,33 @@ class IcebergLakeTable:
             return df
         return df.filter(
             ~F.coalesce(F.col(self.DELETED_COL), F.lit(False))
-        ).drop(self.DELETED_COL)
+        ).drop(self.DELETED_COL, self.VERSION_COL)
+
+    def read_changes(self, since_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed over the engine's commit counter — identical
+        contract to ParquetLakeTable.read_changes: every row whose last change
+        committed in ``(since_version, to_version]``, as data columns +
+        ``_change_type`` ('upsert' | 'delete') + ``_commit_version``.
+
+        Scale: the filter on the stamp column pushes into the scan; Iceberg
+        file-level min/max stats skip data files written before the window, so
+        the feed reads only recently-rewritten files, not the whole table."""
+        to_v = self.current_version() if to_version is None else to_version
+        df = self.read(include_tombstones=True)
+        return (
+            df.filter(
+                (F.coalesce(F.col(self.VERSION_COL), F.lit(0)) > F.lit(since_version))
+                & (F.coalesce(F.col(self.VERSION_COL), F.lit(0)) <= F.lit(to_v))
+            )
+            .withColumn(
+                "_change_type",
+                F.when(
+                    F.coalesce(F.col(self.DELETED_COL), F.lit(False)), F.lit("delete")
+                ).otherwise(F.lit("upsert")),
+            )
+            .withColumnRenamed(self.VERSION_COL, "_commit_version")
+            .drop(self.DELETED_COL)
+        )
 
     def merge(
         self,
@@ -751,13 +859,16 @@ class IcebergLakeTable:
             updates = lww_dedupe(
                 updates, self.key_cols, lsn_col=self.lsn_col, op_col=self.op_col
             )
+        new_version = self.current_version() + 1
         if not self.spark.catalog.tableExists(self.table):
             # first batch bootstraps the table: the deduped batch IS the merge
             # result over an empty target (tombstones included). Bucketed on the
             # merge key so every later MERGE is storage-partition-join-able.
-            initial = updates.withColumn(
-                self.DELETED_COL, F.col(self.op_col) == "D"
-            ).drop(self.op_col)
+            initial = (
+                updates.withColumn(self.DELETED_COL, F.col(self.op_col) == "D")
+                .withColumn(self.VERSION_COL, F.lit(new_version).cast("long"))
+                .drop(self.op_col)
+            )
             (
                 initial.writeTo(self.table)
                 .partitionedBy(F.bucket(self.num_buckets, self.key_cols[0]))
@@ -773,9 +884,16 @@ class IcebergLakeTable:
                 merge_into_sql(
                     self.table, view, self.key_cols, data_cols,
                     self.lsn_col, self.op_col, self.DELETED_COL,
+                    version_col=self.VERSION_COL, version=new_version,
                 )
             )
             self.spark.catalog.dropTempView(view)
-        if batch_id is not None:
-            self._advance_watermark(query_id, batch_id)
-        return MergeResult(True, -1, batch_id, [], {"backend": "iceberg"})
+        # Commit record advances BOTH the fencing watermark and the change-feed
+        # version counter (one append; version monotone even for unfenced
+        # batch-mode merges with batch_id=None).
+        self._advance_watermark(
+            query_id if batch_id is not None else None, batch_id, new_version
+        )
+        return MergeResult(
+            True, new_version, batch_id, [], {"backend": "iceberg"}
+        )

@@ -139,6 +139,129 @@ def sql_backend_replay(spark, batches, key_cols=KEYS):
     return target
 
 
+def sql_backend_replay_versioned(spark, batches, key_cols=KEYS):
+    """As ``sql_backend_replay`` but stamping each batch's winners with a
+    monotone commit version through merge_into_sql's ``version_col`` — the
+    exact statement IcebergLakeTable issues for its change feed. Returns the
+    per-version state dict {version: DataFrame} (version 0 = empty table)."""
+    target = None
+    states = {}
+    for i, b in enumerate(batches):
+        src = lww_dedupe(b, key_cols, lsn_col="lsn", op_col="op")
+        data_cols = [c for c in src.columns if c != "op"]
+        if target is None:
+            empty = spark.createDataFrame([], b.schema).drop("op")
+            target = empty.withColumn("_deleted", F.lit(True)).withColumn(
+                "_version", F.lit(0).cast("long")
+            )
+            states[0] = target
+        sql = merge_into_sql(
+            "t", "s", key_cols, data_cols, version_col="_version", version=i + 1
+        )
+        target = spark.createDataFrame(
+            run_merge_statement(spark, sql, target, src).collect(), target.schema
+        )
+        states[i + 1] = target
+    return states
+
+
+class _SqlFeedTable:
+    """Change-feed adapter over the versioned interpreter states: the same
+    ``current_version``/``read_changes`` contract IcebergLakeTable implements
+    (a plain filter on the per-row ``_version`` stamp), so ChangeFeedCursor
+    drives the SQL backend's semantics verbatim in the differential test."""
+
+    def __init__(self, states):
+        self.states = states
+
+    def current_version(self) -> int:
+        return max(self.states)
+
+    def read_changes(self, since_version, to_version=None):
+        to_v = self.current_version() if to_version is None else to_version
+        df = self.states[to_v]
+        return (
+            df.filter(
+                (F.col("_version") > since_version) & (F.col("_version") <= to_v)
+            )
+            .withColumn(
+                "_change_type",
+                F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")),
+            )
+            .withColumnRenamed("_version", "_commit_version")
+            .drop("_deleted")
+        )
+
+
+def _changes(df) -> pd.DataFrame:
+    pdf = df.select(
+        "repo", "path", "commit", "lang", "content", "lsn",
+        "_change_type", "_commit_version",
+    ).toPandas()
+    return pdf.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def test_backends_agree_on_change_feed_stamps(spark, tmp_path):
+    """The per-row _version stamp — what makes read_changes incremental — must
+    move identically in both backends: stamped on every row an incoming event
+    WON (including equal-LSN replays), untouched on rows the guard protected.
+    Compared for every (since, to] window, not just the final state."""
+    events = gen_change_events(spark, n_events=1200, n_keys=80, seed=13).drop("ts", "extras")
+    ranges = [(401, 800), (1, 400), (801, 1200), (401, 800)]  # out of order + replay
+    batches = [
+        events.filter((events.lsn >= lo) & (events.lsn <= hi)) for lo, hi in ranges
+    ]
+    pq = _parquet_replay(spark, tmp_path, batches)
+    states = sql_backend_replay_versioned(spark, batches)
+    sql_feed = _SqlFeedTable(states)
+
+    assert pq.current_version() == sql_feed.current_version() == len(batches)
+    windows = [(0, None), (1, None), (2, 3)] + [
+        (v, v + 1) for v in range(len(batches))
+    ]
+    for since, to in windows:
+        pd.testing.assert_frame_equal(
+            _changes(pq.read_changes(since, to)),
+            _changes(sql_feed.read_changes(since, to)),
+        ), (since, to)
+
+
+def test_change_feed_cursor_drives_both_backends(spark, tmp_path):
+    """VERDICT r2 #4 'done' bar: the SAME ChangeFeedCursor consume loop works
+    against the parquet backend and the SQL-MERGE backend, delivering
+    identical windows at identical cursor positions."""
+    from pocket_etl_spark.cdc.feed import ChangeFeedCursor
+
+    events = gen_change_events(spark, n_events=600, n_keys=40, seed=7).drop("ts", "extras")
+    batches = [
+        events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        for lo, hi in [(1, 200), (201, 400), (401, 600)]
+    ]
+    pq = _parquet_replay(spark, tmp_path, batches[:2])
+    states = sql_backend_replay_versioned(spark, batches[:2])
+    cur_pq = ChangeFeedCursor(pq, str(tmp_path / "pq_cursor.json"))
+    cur_sql = ChangeFeedCursor(_SqlFeedTable(states), str(tmp_path / "sql_cursor.json"))
+
+    df_pq, upto_pq = cur_pq.poll()
+    df_sql, upto_sql = cur_sql.poll()
+    assert upto_pq == upto_sql == 2
+    pd.testing.assert_frame_equal(_changes(df_pq), _changes(df_sql))
+    cur_pq.commit(upto_pq)
+    cur_sql.commit(upto_sql)
+
+    # third batch lands; both cursors see exactly the delta
+    pq.merge(batches[2], batch_id=2)
+    states3 = sql_backend_replay_versioned(spark, batches)
+    cur_sql.table = _SqlFeedTable(states3)
+    df_pq, upto_pq = cur_pq.poll()
+    df_sql, upto_sql = cur_sql.poll()
+    assert upto_pq == upto_sql == 3
+    pd.testing.assert_frame_equal(_changes(df_pq), _changes(df_sql))
+    cur_pq.commit(upto_pq)
+    cur_sql.commit(upto_sql)
+    assert cur_pq.poll()[0] is None and cur_sql.poll()[0] is None
+
+
 def _state(df, include_tombstones=False) -> pd.DataFrame:
     """Canonical comparable state: key, payload, lsn, deleted-flag."""
     if "_deleted" in df.columns:

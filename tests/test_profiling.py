@@ -22,7 +22,9 @@ def test_scopes_nest_and_roll_up():
     # rollup invariant: parent elapsed >= sum of children; self = the gap
     child_sum = sum(c["elapsed_sec"] for c in run["children"])
     assert run["elapsed_sec"] >= child_sum
-    assert abs(run["self_sec"] - (run["elapsed_sec"] - child_sum)) < 1e-6
+    # tree() rounds elapsed/self to 6 decimals independently, so the rollup
+    # identity only holds to ~2 ulps of that rounding.
+    assert abs(run["self_sec"] - (run["elapsed_sec"] - child_sum)) < 5e-6
     load = run["children"][1]
     assert load["children"][0]["name"] == "write_parts"
 

@@ -126,3 +126,28 @@ def test_json_unknown_keys_tunnel(spark, tmp_path):
     assert rows["x"]["score"] == 3
     assert rows["x"]["extras"] == {"region": "eu", "tier": "gold"}
     assert rows["y"]["extras"] == {}
+
+
+def test_iceberg_watermark_binds_hostile_query_id(spark, tmp_path):
+    """VERDICT r2 #3: last_batch_id/_advance_watermark must bind query_id as a
+    named parameter, never interpolate it — a query id full of quote/backslash
+    hostility round-trips intact and cannot alter the statement. Runs the
+    EXACT watermark SQL with table_format='parquet' (same statements, no
+    Iceberg jar needed)."""
+    from pocket_etl_spark.lake import IcebergLakeTable
+
+    t = IcebergLakeTable(spark, "wm_hostile_qid", table_format="parquet")
+    try:
+        evil = "q'; DROP TABLE wm_hostile_qid_watermarks; --\\' OR '1'='1"
+        t._advance_watermark(evil, batch_id=7, version=1)
+        t._advance_watermark("plain", batch_id=3, version=2)
+        assert t.last_batch_id(evil) == 7
+        assert t.last_batch_id("plain") == 3
+        assert t.last_batch_id("absent") == -1
+        assert t.current_version() == 2
+        # unfenced batch-mode merges advance only the version counter
+        t._advance_watermark(None, batch_id=None, version=3)
+        assert t.current_version() == 3
+        assert t.last_batch_id(evil) == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wm_hostile_qid_watermarks")
