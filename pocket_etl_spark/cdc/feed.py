@@ -15,9 +15,11 @@ lake's version counter playing the queue cursor.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -59,15 +61,32 @@ class ChangeFeedCursor:
             return None, since
         return self.table.read_changes(since, upto), upto
 
-    def commit(self, version: int) -> None:
-        """Atomically advance the cursor (os.replace, same pattern as the
-        lake's pointer swap). Never moves backwards."""
-        state = self._read_state()
-        if version <= int(state.get(self.consumer_id, 0)):
-            return
-        state[self.consumer_id] = int(version)
-        tmp = f"{self.cursor_path}.tmp.{uuid.uuid4().hex}"
+    @contextmanager
+    def _locked(self):
+        """Exclusive advisory lock (fcntl on a sidecar .lock file) serializing
+        the read-modify-write in commit(): without it, two consumers with
+        different consumer_ids sharing one cursor file could interleave and the
+        last writer would silently rewind the other's position (still
+        at-least-once, but a large re-delivery). Local/NFSv4 filesystems only —
+        on object stores use one cursor file per consumer_id instead."""
         os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self.cursor_path)
+        with open(f"{self.cursor_path}.lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
+    def commit(self, version: int) -> None:
+        """Atomically advance the cursor (os.replace under an exclusive file
+        lock, same pattern as the lake's pointer swap). Never moves backwards —
+        for any consumer_id in the shared file, not just this one."""
+        with self._locked():
+            state = self._read_state()
+            if version <= int(state.get(self.consumer_id, 0)):
+                return
+            state[self.consumer_id] = int(version)
+            tmp = f"{self.cursor_path}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self.cursor_path)

@@ -9,6 +9,7 @@ action runs, and filters/projections applied downstream push into the scan.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 from collections.abc import Iterable
 from dataclasses import dataclass, field
@@ -54,7 +55,13 @@ class CsvExtractor:
             # Unknown-column catch-all (EtlBeanMapper.java:46-49,100-112: the
             # secondary mapper tunnels undeclared columns into a dynamic Map):
             # read raw strings by header name, cast the declared columns, pack
-            # every undeclared column into a map<string,string>.
+            # every undeclared column into a map<string,string>. Undeclared
+            # columns only exist by NAME, so this path requires a header row.
+            if not self.header:
+                raise ValueError(
+                    "CsvExtractor(extras_col=...) requires header=True: "
+                    "undeclared columns are identified by header name"
+                )
             schema = (
                 T.StructType.fromDDL(self.schema)
                 if isinstance(self.schema, str)
@@ -68,8 +75,16 @@ class CsvExtractor:
             declared = {f.name for f in schema.fields}
             undeclared = [c for c in raw.columns if c not in declared]
             kv = [x for c in undeclared for x in (F.lit(c), F.col(c))]
+            # fail_on_malformed maps to the cast, not the reader, on this path:
+            # under ANSI SQL (Spark 4 default) a plain cast of a bad value
+            # fails the job (FAILFAST analogue); try_cast degrades it to NULL.
+            cast = (
+                (lambda f: F.col(f.name).cast(f.dataType))
+                if self.fail_on_malformed
+                else (lambda f: F.col(f.name).try_cast(f.dataType))
+            )
             return raw.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+                *[cast(f).alias(f.name) for f in schema.fields],
                 F.create_map(*kv).alias(self.extras_col),
             )
         r = (
@@ -141,21 +156,27 @@ class ParquetExtractor:
 import re as _re
 
 
-def rewrite_hash_params(sql: str) -> str:
-    """Reference parameter syntax ``#name`` (SqlExtractor.java:89-101) → Spark
-    named parameter markers ``:name``. Skips string literals so a literal '#'
-    inside quotes is untouched."""
+def _sub_hash_params(sql: str, repl) -> str:
+    """Walk ``sql`` replacing each ``#name`` OUTSIDE string literals with
+    ``repl(name)``. The literal scanner honors Spark's default escape rules:
+    a backslash inside a literal escapes the next character (so ``\\'`` does
+    NOT close the string — the hole the round-2 advisor flagged), and ``''``
+    self-closes/reopens, which the plain toggle already handles."""
     out, in_str = [], False
     i = 0
     while i < len(sql):
         ch = sql[i]
+        if in_str and ch == "\\" and i + 1 < len(sql):
+            out.append(sql[i : i + 2])
+            i += 2
+            continue
         if ch == "'":
             in_str = not in_str
             out.append(ch)
         elif ch == "#" and not in_str:
             m = _re.match(r"#([A-Za-z_][A-Za-z0-9_]*)", sql[i:])
             if m:
-                out.append(":" + m.group(1))
+                out.append(repl(m.group(1)))
                 i += m.end()
                 continue
             out.append(ch)
@@ -163,6 +184,13 @@ def rewrite_hash_params(sql: str) -> str:
             out.append(ch)
         i += 1
     return "".join(out)
+
+
+def rewrite_hash_params(sql: str) -> str:
+    """Reference parameter syntax ``#name`` (SqlExtractor.java:89-101) → Spark
+    named parameter markers ``:name``. Skips string literals so a literal '#'
+    inside quotes is untouched."""
+    return _sub_hash_params(sql, lambda name: ":" + name)
 
 
 def encode_sql_literal(v: Any) -> str:
@@ -174,7 +202,14 @@ def encode_sql_literal(v: Any) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            # repr() would emit inf/nan — not SQL literals. Refuse rather than
+            # guess a semantic (the reference's prepared statements would
+            # likewise fail to bind these).
+            raise ValueError(f"cannot encode non-finite float {v!r} as a SQL literal")
+        return repr(v)
+    if isinstance(v, int):
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "(" + ", ".join(encode_sql_literal(x) for x in v) + ")"
@@ -188,30 +223,12 @@ def bind_sql_params(sql: str, args: dict[str, Any]) -> str:
     path). A hostile value can never terminate its literal, so it cannot alter
     the statement (the reference's prepared-statement guarantee,
     EtlJdbi.java:44-51, re-established by encoding). Raises on unknown names."""
-    def sub(m: _re.Match) -> str:
-        name = m.group(1)
+    def sub(name: str) -> str:
         if name not in args:
             raise KeyError(f"missing SQL parameter #{name}")
         return encode_sql_literal(args[name])
 
-    out, in_str = [], False
-    i = 0
-    while i < len(sql):
-        ch = sql[i]
-        if ch == "'":
-            in_str = not in_str
-            out.append(ch)
-        elif ch == "#" and not in_str:
-            m = _re.match(r"#([A-Za-z_][A-Za-z0-9_]*)", sql[i:])
-            if m:
-                out.append(sub(m))
-                i += m.end()
-                continue
-            out.append(ch)
-        else:
-            out.append(ch)
-        i += 1
-    return "".join(out)
+    return _sub_hash_params(sql, sub)
 
 
 @dataclass

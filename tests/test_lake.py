@@ -285,3 +285,30 @@ def test_change_feed_cursor_at_least_once(spark, tmp_table_path, tmp_path):
     cur_b = ChangeFeedCursor(table, str(tmp_path / "cursor.json"), consumer_id="b")
     df_b, _ = cur_b.poll()
     assert df_b.count() >= df3.count()
+
+
+def test_cursor_concurrent_commits_do_not_rewind(tmp_path):
+    """ADVICE r2: two consumers sharing one cursor file commit concurrently —
+    the fcntl lock serializes the read-modify-write so no consumer's position
+    is ever rewound or lost by a racing writer."""
+    import threading
+
+    from pocket_etl_spark.cdc.feed import ChangeFeedCursor
+
+    path = str(tmp_path / "shared_cursor.json")
+    n_consumers, n_commits = 8, 25
+    cursors = [
+        ChangeFeedCursor(None, path, consumer_id=f"c{i}") for i in range(n_consumers)
+    ]
+
+    def run(cur):
+        for v in range(1, n_commits + 1):
+            cur.commit(v)
+
+    threads = [threading.Thread(target=run, args=(c,)) for c in cursors]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for c in cursors:
+        assert c.position() == n_commits, c.consumer_id

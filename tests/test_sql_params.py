@@ -151,3 +151,38 @@ def test_iceberg_watermark_binds_hostile_query_id(spark, tmp_path):
         assert t.last_batch_id(evil) == 7
     finally:
         spark.sql("DROP TABLE IF EXISTS wm_hostile_qid_watermarks")
+
+
+def test_scanner_honors_backslash_escaped_quotes():
+    """ADVICE r2: Spark string literals honor backslash escapes by default, so
+    a ``\\'`` inside a literal must NOT close it — a ``#name`` after one is
+    still literal text and must survive both the rewrite and the bind."""
+    sql = r"SELECT '\' #not_a_param', #real FROM t"
+    assert rewrite_hash_params(sql) == r"SELECT '\' #not_a_param', :real FROM t"
+    assert (
+        bind_sql_params(sql, {"real": 7}) == r"SELECT '\' #not_a_param', 7 FROM t"
+    )
+    # and the degenerate trailing-backslash-in-literal case stays in-string
+    sql2 = r"SELECT '\\' || '#x' FROM t"
+    assert rewrite_hash_params(sql2) == sql2
+
+
+def test_encode_sql_literal_rejects_non_finite_floats():
+    """ADVICE r2: repr(inf/nan) is not a SQL literal — refuse, don't emit."""
+    assert encode_sql_literal(1.5) == "1.5"
+    assert encode_sql_literal(1e-7) == "1e-07"
+    for bad in (float("inf"), float("-inf"), float("nan")):
+        with pytest.raises(ValueError):
+            encode_sql_literal(bad)
+
+
+def test_csv_extras_requires_header(spark, tmp_path):
+    """ADVICE r2: the extras_col path identifies undeclared columns by header
+    name; header=False used to silently consume the first data row as a
+    header — now it's an explicit error."""
+    p = tmp_path / "x.csv"
+    p.write_text("1,a\n2,b\n")
+    with pytest.raises(ValueError, match="header"):
+        CsvExtractor(
+            str(p), schema="id int", header=False, extras_col="extras"
+        ).to_df(spark)
