@@ -59,7 +59,13 @@ def split_invalid(events: DataFrame, table: ParquetLakeTable) -> tuple[DataFrame
     for k in table.key_cols:
         key_ok = key_ok & F.col(k).isNotNull()
     cond = key_ok & F.col(table.lsn_col).isNotNull() & F.col(table.op_col).isin(*VALID_OPS)
-    return events.filter(cond), events.filter(~cond)
+    good, bad = events.filter(cond), events.filter(~cond)
+    # envelope-decode residue (streaming/envelope.decode_kafka_envelope): the
+    # raw undecodable payload rides into the DLQ with the bad rows, but must
+    # never reach the merge or it would schema-evolve into the table.
+    if "_raw_value" in events.columns:
+        good = good.drop("_raw_value")
+    return good, bad
 
 
 def write_dlq(bad: DataFrame, dlq_path: str, batch_id: int | None, stage: str = "apply") -> int:

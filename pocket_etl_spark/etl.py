@@ -316,8 +316,9 @@ class EtlStream:
         stages: tuple[_Stage, ...] = (),
         loader: Loader | None = None,
         name: str = "etl",
-        object_logger: Callable[[dict], str] | None = None,
+        object_logger: Callable[[dict], str] | str | None = None,
         observe_stages: bool = False,
+        dlq_key_cols: tuple[str, ...] = (),
     ) -> None:
         self._sources = sources
         self._stages = stages
@@ -325,6 +326,7 @@ class EtlStream:
         self._name = name
         self._object_logger = object_logger
         self._observe_stages = observe_stages
+        self._dlq_key_cols = dlq_key_cols
 
     # ---- construction ----
 
@@ -356,6 +358,7 @@ class EtlStream:
             name=self._name,
             object_logger=self._object_logger,
             observe_stages=self._observe_stages,
+            dlq_key_cols=self._dlq_key_cols,
         )
         args.update(kw)
         return EtlStream(**args)
@@ -481,11 +484,23 @@ class EtlStream:
         last = self._stages[-1]
         return self._copy(stages=self._stages[:-1] + (replace(last, partitions=n),))
 
-    def with_object_logger(self, fmt: Callable[[dict], str]) -> "EtlStream":
-        """Record→string formatter for DLQ payloads (EtlConsumerStage.java:58-63;
-        default strategy DefaultLoggingStrategy.java:27-36 is PII-safe
-        class-name-only — ours defaults to full JSON, override to redact)."""
+    def with_object_logger(self, fmt: Callable[[dict], str] | str) -> "EtlStream":
+        """Record→string formatter for DLQ payloads (EtlConsumerStage.java:58-63).
+
+        The DEFAULT (no call) mirrors the reference's PII-safe
+        DefaultLoggingStrategy.java:27-36 — class/schema info only, never field
+        values: the payload is the record's schema DDL plus any columns opted
+        in via ``with_dlq_keys``. Full-record payloads are explicit opt-in:
+        pass the string ``"full"`` for a JVM-side to_json of every column, or
+        a ``dict -> str`` callable for custom formatting (runs as a Python UDF
+        on the failed rows only — the DLQ leg, never the hot path)."""
         return self._copy(object_logger=fmt)
+
+    def with_dlq_keys(self, *cols: str) -> "EtlStream":
+        """Columns the PII-safe default DLQ payload may include (business keys
+        an operator needs to find the poisoned record). All other fields stay
+        redacted unless with_object_logger('full') opts the stream out."""
+        return self._copy(dlq_key_cols=tuple(cols))
 
     def with_stage_metrics(self, enabled: bool = True) -> "EtlStream":
         """Emit per-stage recordsProcessed counters
@@ -552,13 +567,29 @@ class EtlStream:
                 persisted = df.persist()
                 err = persisted.filter(F.col(_ERR_COL).isNotNull())
                 fmt = self._object_logger
-                payload = (
-                    F.to_json(F.struct(*[c for c in df.columns if c != _ERR_COL]))
-                    if fmt is None
-                    else F.udf(lambda r: fmt(r.asDict()), T.StringType())(
-                        F.struct(*[c for c in df.columns if c != _ERR_COL])
+                data_cols = [c for c in df.columns if c != _ERR_COL]
+                if fmt is None:
+                    # PII-safe default (DefaultLoggingStrategy.java:27-36):
+                    # schema + opted-in key columns only — a DLQ directory of
+                    # raw records is a governance hazard at deployment scale.
+                    missing = [c for c in self._dlq_key_cols if c not in data_cols]
+                    if missing:
+                        raise ValueError(f"with_dlq_keys: unknown columns {missing}")
+                    schema_ddl = T.StructType(
+                        [f for f in df.schema.fields if f.name != _ERR_COL]
+                    ).simpleString()
+                    parts = [F.lit(schema_ddl).alias("record_schema")]
+                    if self._dlq_key_cols:
+                        parts.append(
+                            F.struct(*self._dlq_key_cols).alias("keys")
+                        )
+                    payload = F.to_json(F.struct(*parts))
+                elif fmt == "full":
+                    payload = F.to_json(F.struct(*data_cols))
+                else:
+                    payload = F.udf(lambda r: fmt(r.asDict()), T.StringType())(
+                        F.struct(*data_cols)
                     )
-                )
                 dlq_df = err.select(
                     F.lit(self._name).alias("stream"),
                     F.col(_ERR_COL).alias("error"),

@@ -73,9 +73,17 @@ _WIDEN_ORDER = ["tinyint", "smallint", "int", "bigint", "float", "double"]
 
 
 def widen(a: T.DataType, b: T.DataType) -> T.DataType:
-    """Least common type of two column types under the int→long→double lattice."""
+    """Least common type of two column types under the int→long→double lattice.
+
+    Arrays widen element-wise (array<int> ∪ array<long> = array<long> — the
+    Postgres text[]/int[] analogue, SURVEY §1.2), never to string; the same
+    recursion covers nested arrays."""
     if a == b:
         return a
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(
+            widen(a.elementType, b.elementType), a.containsNull or b.containsNull
+        )
     names = {a.simpleString(), b.simpleString()}
     if names <= set(_WIDEN_ORDER):
         idx = max(_WIDEN_ORDER.index(a.simpleString()), _WIDEN_ORDER.index(b.simpleString()))

@@ -136,6 +136,32 @@ class JsonExtractor:
         return r.json(self.path)
 
 
+def pg_array_column(
+    df: DataFrame, col: str, out: str | None = None, element_type: str = "string"
+) -> DataFrame:
+    """Parse a Postgres array literal column (``{a,b,"c d"}``, the wire format
+    PostgresStringArrayArgumentFactory.java:31-62 binds a List<String> to) into
+    a typed ``array<element_type>`` column — the read-side inverse, for flat
+    sources like CSV/JDBC that can only carry the serialized form.
+
+    All JVM-side: strip braces, split, trim whitespace and surrounding double
+    quotes, cast elements. NULL and ``{}`` map to NULL and empty array.
+    Limitation (documented): elements containing a literal comma must arrive
+    via a structured source (JSON/parquet) instead — CSV-borne pg literals
+    with embedded commas are ambiguous without a full quote-aware parser."""
+    out = out or col
+    body = F.regexp_replace(F.trim(F.col(col)), r"^\{|\}$", "")
+    parsed = F.when(F.col(col).isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(
+        F.when(body == "", F.array().cast(f"array<{element_type}>")).otherwise(
+            F.transform(
+                F.split(body, ","),
+                lambda e: F.regexp_replace(F.trim(e), r'^"|"$', "").cast(element_type),
+            )
+        )
+    )
+    return df.withColumn(out, parsed)
+
+
 def json_column(df: DataFrame, col: str, schema: T.StructType | str, out: str = "parsed") -> DataFrame:
     """JSONStringMapper as a mid-stream transform: parse a JSON string column
     into a struct (the SqsExtractor's messageMapper shape,

@@ -57,16 +57,20 @@ def start_tail(
     processing_time: str | None = None,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     on_batch: Callable[[DataFrame, int], Any] | None = None,
+    wal_schema=EVENT_SCHEMA,
 ) -> StreamingQuery:
     """Start the CDC tail query.
 
     ``available_now=True`` drains the current WAL then stops (batch replay / tests);
     ``processing_time`` runs continuously. ``transform`` is an optional pre-apply
-    DataFrame→DataFrame hook (the fluent pipeline's transform chain plugs in here).
-    ``on_batch`` is a fault-injection/observability hook used by tests.
+    DataFrame→DataFrame hook (the fluent pipeline's transform chain plugs in here) —
+    e.g. ``streaming/envelope.decode_kafka_envelope`` when the WAL carries
+    Kafka-shaped ``(key, value)`` byte pairs (``wal_schema=KAFKA_ENVELOPE_SCHEMA``)
+    instead of typed event rows. ``on_batch`` is a fault-injection/observability
+    hook used by tests.
     """
     stream = read_wal_stream(
-        spark, wal_dir, max_files_per_trigger=max_files_per_trigger
+        spark, wal_dir, schema=wal_schema, max_files_per_trigger=max_files_per_trigger
     )
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:

@@ -379,3 +379,46 @@ def test_metrics_loader_counters(spark):
     res = EtlStream.extract(_src(spark)).load(MetricsLoader()).run(spark)
     assert res.sink_result["recordsProcessed"] == 10
     assert res.sink_result["score"] == sum(range(10))
+
+
+def test_dlq_default_payload_redacts_values(spark, tmp_path):
+    """VERDICT r2 #5 (reference parity: DefaultLoggingStrategy.java:27-36
+    logs class name only): the DEFAULT DLQ payload carries schema + opted-in
+    key columns, never other field values; 'full' is explicit opt-in."""
+    import json
+
+    from pocket_etl_spark.sources import IterableExtractor
+
+    rows = [{"user_id": i, "ssn": f"secret-{i}", "v": i} for i in range(4)]
+
+    def boom(pdf):
+        raise ValueError("poison")
+
+    base = (
+        EtlStream.extract(IterableExtractor(rows, "user_id long, ssn string, v long"))
+        .map_rows(boom)
+    )
+
+    # default: redacted — schema + keys only
+    res = base.with_dlq_keys("user_id").load(BufferLoader()).run(
+        spark, dlq_path=str(tmp_path / "dlq_safe")
+    )
+    assert res.dlq_count == 4
+    for r in res.dlq.collect():
+        p = json.loads(r["payload"])
+        assert set(p) == {"record_schema", "keys"}
+        assert set(p["keys"]) == {"user_id"}
+        assert "secret" not in r["payload"]
+    # no keys opted in: schema only
+    res2 = base.load(BufferLoader()).run(spark)
+    assert all(
+        set(json.loads(r["payload"])) == {"record_schema"} for r in res2.dlq.collect()
+    )
+    # full payload is opt-in
+    res3 = base.with_object_logger("full").load(BufferLoader()).run(spark)
+    assert all("secret-" in r["payload"] for r in res3.dlq.collect())
+    # unknown key column is an error, not silent redaction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown columns"):
+        base.with_dlq_keys("nope").load(BufferLoader()).run(spark)

@@ -96,3 +96,87 @@ def test_tunnel_promotion_through_apply(spark, tmp_table_path):
     pdf = table.read().toPandas()
     assert pdf[pdf.lsn >= 300]["new_col_score"].notna().all()
     assert pdf[pdf.lsn < 300]["new_col_score"].isna().all()
+
+
+def test_array_column_round_trips_through_merge(spark, tmp_path):
+    """VERDICT r2 #8 (Postgres text[] analogue, SURVEY §1.2): an
+    array<string> column survives JSON source → lake merge → read-back with
+    its type intact, and arrays widen ELEMENT-WISE (array<int> ∪ array<long>
+    = array<long>), never collapsing to string."""
+    import pyspark.sql.types as T
+
+    from pocket_etl_spark.lake import ParquetLakeTable
+    from pocket_etl_spark.sources import JsonExtractor
+
+    p = tmp_path / "ev.jsonl"
+    p.write_text(
+        '{"lsn": 1, "op": "I", "repo": "r", "path": "a", "tags": ["x", "y z"], "sizes": [1, 2]}\n'
+        '{"lsn": 2, "op": "I", "repo": "r", "path": "b", "tags": [], "sizes": null}\n'
+    )
+    batch1 = JsonExtractor(
+        str(p),
+        "lsn long, op string, repo string, path string, tags array<string>, sizes array<int>",
+    ).to_df(spark)
+    table = ParquetLakeTable(spark, str(tmp_path / "arr_t"), num_buckets=2)
+    table.merge(batch1, batch_id=0)
+    sch = {f.name: f.dataType for f in table.schema().fields}
+    assert sch["tags"] == T.ArrayType(T.StringType())
+    got = {r["path"]: (r["tags"], r["sizes"]) for r in table.read().collect()}
+    assert got == {"a": (["x", "y z"], [1, 2]), "b": ([], None)}
+
+    # widening batch: sizes arrives as array<long> → element-wise widen
+    batch2 = spark.createDataFrame(
+        [(3, "U", "r", "a", ["x"], [2**40])],
+        "lsn long, op string, repo string, path string, tags array<string>, sizes array<long>",
+    )
+    table.merge(batch2, batch_id=1)
+    sch2 = {f.name: f.dataType for f in table.schema().fields}
+    assert sch2["sizes"] == T.ArrayType(T.LongType())
+    got2 = {r["path"]: r["sizes"] for r in table.read().collect()}
+    assert got2 == {"a": [2**40], "b": None}
+
+
+def test_pg_array_literal_parses_from_csv(spark, tmp_path):
+    """CSV/JDBC can only carry Postgres arrays as their literal wire format —
+    pg_array_column parses '{a,b,"c d"}' into a typed array, JVM-side."""
+    from pocket_etl_spark.sources import CsvExtractor, pg_array_column
+
+    p = tmp_path / "pg.csv"
+    # Spark CSV's default quote-escape is backslash (not RFC 4180 doubling)
+    p.write_text(
+        'id,tags,nums\n'
+        '1,"{a,b,\\"c d\\"}","{1,2,3}"\n'
+        '2,{},{}\n'
+        '3,,\n'
+    )
+    df = CsvExtractor(str(p), schema="id int, tags string, nums string").to_df(spark)
+    out = pg_array_column(pg_array_column(df, "tags"), "nums", element_type="int")
+    got = {r["id"]: (r["tags"], r["nums"]) for r in out.collect()}
+    assert got == {
+        1: (["a", "b", "c d"], [1, 2, 3]),
+        2: ([], []),
+        3: (None, None),
+    }
+    assert dict(out.dtypes)["nums"] == "array<int>"
+
+
+def test_evolution_ddl_renders_array_types():
+    """The Iceberg DDL path renders array adds/widens correctly."""
+    import pyspark.sql.types as T
+
+    from pocket_etl_spark.lake import evolution_ddl
+
+    cur = T.StructType([T.StructField("id", T.LongType())])
+    inc = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    stmts = evolution_ddl("t", cur, inc)
+    assert stmts == ["ALTER TABLE t ADD COLUMNS (tags array<string>)"]
+    cur2 = T.StructType([T.StructField("sizes", T.ArrayType(T.IntegerType()))])
+    inc2 = T.StructType([T.StructField("sizes", T.ArrayType(T.LongType()))])
+    assert evolution_ddl("t", cur2, inc2) == [
+        "ALTER TABLE t ALTER COLUMN sizes TYPE array<bigint>"
+    ]

@@ -177,3 +177,47 @@ def test_ingest_metrics_listener_records_batches(spark, tmp_path, wal):
     ids = sorted(r["batch_id"] for r in with_data)
     assert ids == list(range(len(ids))) and len(ids) >= 1
     assert all(r["query_name"] == "qm" for r in rows)
+
+
+def test_kafka_envelope_tail_matches_oracle(spark, tmp_path):
+    """VERDICT r2 #7: the binlog-consumer shape — a WAL of Kafka-contract
+    (key, value) byte pairs with the change event JSON-encoded in value —
+    decodes mid-stream (from_json, JVM-side) and feeds the SAME apply_batch
+    unchanged; final state matches the oracle, and an undecodable record
+    routes to the DLQ with its raw payload instead of vanishing."""
+    from pocket_etl_spark.streaming.envelope import (
+        KAFKA_ENVELOPE_SCHEMA,
+        decode_kafka_envelope,
+        encode_kafka_envelope,
+    )
+
+    events = gen_change_events(spark, n_events=1200, n_keys=90, seed=33)
+    wal_dir = str(tmp_path / "kafka_wal")
+    for lo, hi in [(1, 600), (601, 1200)]:
+        enc = encode_kafka_envelope(
+            events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        )
+        enc.coalesce(1).write.mode("append").parquet(wal_dir)
+    # one poisoned record: value is not JSON
+    spark.createDataFrame(
+        [(b"poison", b"{not json at all")], "key binary, value binary"
+    ).write.mode("append").parquet(wal_dir)
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t_env"), num_buckets=4)
+    dlq = str(tmp_path / "dlq_env")
+    run_tail_to_exhaustion(
+        spark,
+        wal_dir,
+        table,
+        str(tmp_path / "ckpt_env"),
+        query_id="env_tail",
+        transform=decode_kafka_envelope,
+        wal_schema=KAFKA_ENVELOPE_SCHEMA,
+        dlq_path=dlq,
+    )
+    assert_state_equals_oracle(table, events.toPandas())
+    # table schema never grew an envelope residue column
+    assert "_raw_value" not in [f.name for f in table.schema().fields]
+    bad = spark.read.parquet(dlq).collect()
+    assert len(bad) == 1
+    assert "{not json at all" in bad[0]["payload"]
