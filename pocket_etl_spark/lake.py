@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re as _re
 import shutil
 import time
 import uuid
@@ -92,6 +93,7 @@ class ParquetLakeTable:
         num_buckets: int = 16,
         argmax_strategy: str = "shuffle",
         files_per_bucket: int | str = "auto",
+        stamps: bool = True,
     ) -> None:
         if argmax_strategy not in ("broadcast", "shuffle", "sortagg"):
             raise ValueError(f"unknown argmax_strategy {argmax_strategy!r}")
@@ -108,6 +110,11 @@ class ParquetLakeTable:
         # bucket into enough file slices to keep every core writing when
         # touched < parallelism (capped at 8 slices to bound file counts).
         self.files_per_bucket = files_per_bucket
+        # Change-feed stamps: per-row _version costs one long through the
+        # merge's union, winner join, and write (~3-4% of replay wall, measured
+        # in BENCH/BASELINE.md §stamp-cost). Tables nobody tails can turn it
+        # off; read_changes then refuses rather than returning wrong windows.
+        self.stamps = stamps
         self._base_schema = schema or TABLE_SCHEMA
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
@@ -213,6 +220,18 @@ class ParquetLakeTable:
         carried through the copy-on-write rewrite — an unchanged key is never
         emitted, and a late lower-LSN event that LOST its merge produces no
         change row (the stored winner keeps its original stamp)."""
+        if not self.stamps:
+            raise ValueError(
+                "read_changes requires stamps=True (this table was opened with "
+                "stamps=False, so rows carry no _version change-feed stamp)"
+            )
+        # INVARIANT (pinned by test_lake.test_read_changes_window_is_stable):
+        # the window's upper bound and BOTH manifests resolve EAGERLY, here at
+        # call time — never lazily inside the returned plan. A merge committing
+        # between this call and the consumer's action must not widen the
+        # window, or ChangeFeedCursor would deliver rows from a version it
+        # never committed. (The bucket dirs below are version-addressed paths,
+        # immutable once written, so the deferred scan is safe.)
         to_v = self.current_version() if to_version is None else to_version
         since_man = self._manifest(since_version)["buckets"]
         to_man = self._manifest(to_v)["buckets"]
@@ -331,17 +350,18 @@ class ParquetLakeTable:
         # for incoming events; after winner selection NULL coalesces to the new
         # commit version — so a row's stamp moves iff an incoming event won
         # (the change-feed contract of read_changes).
+        stamp_cols = ["_version"] if self.stamps else []
         cur_tagged = current.select(
             *data_cols,
             F.when(F.coalesce(F.col("_deleted"), F.lit(False)), F.lit("D"))
             .otherwise(F.lit(None).cast("string"))
             .alias(self.op_col),
             F.lit(0).alias("_src"),
-            F.col("_version"),
+            *[F.col(c) for c in stamp_cols],
         )
         upd_tagged = winners.select(
             *data_cols, F.col(self.op_col), F.lit(1).alias("_src"),
-            F.lit(None).cast("long").alias("_version"),
+            *[F.lit(None).cast("long").alias(c) for c in stamp_cols],
         )
         combined = cur_tagged.unionByName(upd_tagged)
 
@@ -383,7 +403,7 @@ class ParquetLakeTable:
             merged = (
                 keyed.join(right, on=[*self.key_cols, "_ord"], how="inner")
                 .dropDuplicates([*self.key_cols, "_ord"])
-                .select(*data_cols, self.op_col, "_version")
+                .select(*data_cols, self.op_col, *stamp_cols)
             )
         else:
             # One-pass fallback: max_by over the packed ordering. SortAggregate
@@ -395,21 +415,19 @@ class ParquetLakeTable:
                         F.struct(
                             *[c for c in data_cols if c not in self.key_cols],
                             self.op_col,
-                            "_version",
+                            *stamp_cols,
                         ),
                         F.col("_ord"),
                     ).alias("_w")
                 )
                 .select(*self.key_cols, "_w.*")
             )
-        merged = (
-            merged.withColumn("_deleted", F.col(self.op_col) == "D")
-            .withColumn(
+        merged = merged.withColumn("_deleted", F.col(self.op_col) == "D")
+        if self.stamps:
+            merged = merged.withColumn(
                 "_version", F.coalesce(F.col("_version"), F.lit(new_version))
             )
-            .drop(self.op_col)
-            .withColumn("_bucket", self._bucket_expr())
-        )
+        merged = merged.drop(self.op_col).withColumn("_bucket", self._bucket_expr())
 
         # Write only the touched buckets of the new snapshot. Writer
         # parallelism = touched buckets x file slices: when a batch touches
@@ -721,6 +739,7 @@ class IcebergLakeTable:
         op_col: str = OP_COL,
         num_buckets: int = 16,
         table_format: str = "iceberg",
+        catalog: str = "spark_catalog",
     ) -> None:
         self.spark = spark
         self.table = table
@@ -733,6 +752,8 @@ class IcebergLakeTable:
         # fencing SQL hermetically with "parquet" (plain CREATE/INSERT/SELECT —
         # identical statements, no Iceberg jar needed).
         self.table_format = table_format
+        # catalog for maintenance CALL procedures (iceberg_maintenance_sql)
+        self.catalog = catalog
 
     # -- watermark fencing ------------------------------------------------
 
@@ -897,3 +918,111 @@ class IcebergLakeTable:
         return MergeResult(
             True, new_version, batch_id, [], {"backend": "iceberg"}
         )
+
+    # -- maintenance ------------------------------------------------------
+
+    def compact(
+        self,
+        target_file_size_bytes: int | None = None,
+        where: str | None = None,
+    ) -> list[str]:
+        """Small-file compaction — delegates to Iceberg's rewrite_data_files
+        procedure (the Iceberg translation of ParquetLakeTable.compact; the
+        reference analogue is the parallel loader's part-file coalescing,
+        S3FastLoader.java:66). Statements come from iceberg_maintenance_sql
+        (pure, hermetically tested); this method only executes. Returns the
+        executed statements."""
+        stmts = iceberg_maintenance_sql(
+            self.table,
+            compact=True,
+            target_file_size_bytes=target_file_size_bytes,
+            compact_where=where,
+            catalog=self.catalog,
+        )
+        for st in stmts:
+            self.spark.sql(st)
+        return stmts
+
+    def vacuum(
+        self,
+        older_than_ts: str | None = None,
+        retain_last: int = 1,
+        remove_orphans: bool = False,
+    ) -> list[str]:
+        """Snapshot/orphan-file GC — expire_snapshots (+ optional
+        remove_orphan_files): bounds table history growth the way the parquet
+        backend's manifest chain is bounded by external pruning. Change-feed
+        caveat: expiring snapshots does NOT break ``read_changes`` — the
+        per-row ``_version`` stamps live in the data, not the snapshot log —
+        but time travel beyond the retained window is gone. Returns the
+        executed statements."""
+        stmts = iceberg_maintenance_sql(
+            self.table,
+            expire_older_than_ts=older_than_ts,
+            retain_last=retain_last,
+            remove_orphans=remove_orphans,
+            catalog=self.catalog,
+        )
+        for st in stmts:
+            self.spark.sql(st)
+        return stmts
+
+
+def iceberg_maintenance_sql(
+    table: str,
+    compact: bool = False,
+    target_file_size_bytes: int | None = None,
+    compact_where: str | None = None,
+    expire_older_than_ts: str | None = None,
+    retain_last: int | None = None,
+    remove_orphans: bool = False,
+    catalog: str = "spark_catalog",
+) -> list[str]:
+    """Iceberg maintenance CALL statements, as pure strings (testable without
+    the Iceberg jar, same pattern as merge_into_sql / evolution_ddl):
+
+    - ``rewrite_data_files`` (binpack) — small-file compaction;
+    - ``expire_snapshots`` — history GC;
+    - ``remove_orphan_files`` — dangling-file GC after failed writes.
+
+    ``table``/``catalog`` are engine-controlled identifiers validated against
+    [A-Za-z0-9_.]+; the timestamp literal is validated against an ISO shape —
+    nothing user-controlled is interpolated raw."""
+    for ident in (catalog, table):
+        if not _re.fullmatch(r"[A-Za-z0-9_.]+", ident):
+            raise ValueError(f"invalid identifier {ident!r}")
+    stmts: list[str] = []
+    if compact:
+        args = [f"table => '{table}'", "strategy => 'binpack'"]
+        opts = []
+        if target_file_size_bytes is not None:
+            opts.append(
+                f"'target-file-size-bytes', '{int(target_file_size_bytes)}'"
+            )
+        if opts:
+            args.append(f"options => map({', '.join(opts)})")
+        if compact_where is not None:
+            # a filter expression, quoted as a string literal for the procedure
+            esc = compact_where.replace("\\", "\\\\").replace("'", "''")
+            args.append(f"where => '{esc}'")
+        stmts.append(
+            f"CALL {catalog}.system.rewrite_data_files({', '.join(args)})"
+        )
+    if expire_older_than_ts is not None or retain_last is not None:
+        args = [f"table => '{table}'"]
+        if expire_older_than_ts is not None:
+            if not _re.fullmatch(
+                r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?", expire_older_than_ts
+            ):
+                raise ValueError(f"bad timestamp {expire_older_than_ts!r}")
+            args.append(f"older_than => TIMESTAMP '{expire_older_than_ts}'")
+        if retain_last is not None:
+            args.append(f"retain_last => {int(retain_last)}")
+        stmts.append(
+            f"CALL {catalog}.system.expire_snapshots({', '.join(args)})"
+        )
+    if remove_orphans:
+        stmts.append(
+            f"CALL {catalog}.system.remove_orphan_files(table => '{table}')"
+        )
+    return stmts

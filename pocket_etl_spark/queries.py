@@ -345,6 +345,28 @@ def q_text_tokens_regex(spark, sf):
     )
 
 
+def q_pg_array_parse(spark, sf):
+    """Postgres array-literal parsing (sources.pg_array_column — the read-side
+    inverse of PostgresStringArrayArgumentFactory.java:31-62): build a pg
+    literal with a quoted element from each document row, parse it back to a
+    typed array, and project element-wise. The oracle states the expected
+    parse result directly — ground truth, independent of the parser."""
+    from pocket_etl_spark.sources import pg_array_column
+
+    d = t(spark, sf, "documents")
+    lit = F.concat(
+        F.lit("{"), F.col("lang"), F.lit(',"doc '),
+        F.col("doc_id").cast("string"), F.lit('"}'),
+    )
+    parsed = pg_array_column(d.select("doc_id", lit.alias("pg")), "pg", out="arr")
+    return parsed.select(
+        "doc_id",
+        F.size("arr").alias("n_elems"),
+        F.element_at("arr", 1).alias("elem0"),
+        F.element_at("arr", 2).alias("elem1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # CDC semantics over the driver's events table (the engine's own fixtures are
 # exercised in tests/; these re-express the same operators SQL-checkably).
@@ -939,6 +961,11 @@ ORACLE_SQL: dict[str, str] = {
                len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS n_distinct_tokens
         FROM documents
     """,
+    "pg_array_parse": """
+        SELECT doc_id, 2 AS n_elems, lang AS elem0,
+               'doc ' || CAST(doc_id AS VARCHAR) AS elem1
+        FROM documents
+    """,
     "cdc_op_counts": """
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value,
@@ -968,6 +995,7 @@ QUERIES = {
     "except_nations": q_except_nations,
     "window_lag_gap": q_window_lag_gap,
     "text_tokens_regex": q_text_tokens_regex,
+    "pg_array_parse": q_pg_array_parse,
     "sessionize": q_sessionize,
     "cdc_lww_dedupe": q_cdc_lww_dedupe,
     "cdc_lww_salted": q_cdc_lww_salted,
