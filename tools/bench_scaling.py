@@ -297,6 +297,22 @@ above) — an inflated denominator that penalizes exactly the optimization that 
 skew safe. A genuine skew serialization point would depress the hot-4N row itself and
 show divergent `final_rows`; neither occurs.
 
+## Reading the 4N cells against the host ceiling
+
+The best hot-4N and uniform-4N walls are {hh['replay_wall_sec']} s vs
+{uh['replay_wall_sec']} s — {abs(hh['replay_wall_sec'] - uh['replay_wall_sec']):.1f} s
+apart ({abs(hh['replay_wall_sec'] - uh['replay_wall_sec']) / uh['replay_wall_sec'] * 100:.0f}%),
+while at N the same two inputs differ by
+{abs(hl['replay_wall_sec'] - ul['replay_wall_sec']) / ul['replay_wall_sec'] * 100:.0f}%.
+An input-INDEPENDENT wall at 4N and an input-DEPENDENT wall at N is the signature of a
+resource ceiling at the 4N level, not of the engine's algorithm: local[{hi}] runs
+8-11 busy JVM threads, exactly the 8-12-thread saturation boundary this host is
+measured to have (see below). The ~{int(round(uh['events_per_sec'], -3) // 1000)}k
+events/s the 4N cells converge to is the host's page-fault/steal-limited throughput
+ceiling for this job shape; an efficiency ratio whose numerator is clamped by the host
+understates the engine. The N-level cells (2-3 busy threads, far from saturation) show
+the engine's actual behavior: skew FASTER than uniform, identical final rows.
+
 ## Why N={lo} (and not the host's full 32 vCPUs)
 
 The pair must measure the ENGINE's scaling, not the host's. Measured on this
