@@ -1,0 +1,108 @@
+"""DLQ re-drive: consume a DLQ directory, let the operator fix the records,
+re-apply them through the normal exactly-once merge path.
+
+Closes the loop the reference's recoverable-error channel implies
+(LogAsErrorEtlConsumer.java:34-92 routes failures to a logger; a human fixes
+and re-submits) — here the re-submission is first-class: ``redrive`` parses the
+DLQ payloads back into typed event rows, runs an optional caller-supplied
+``fix`` transform, and hands the result to ``apply_batch`` under its own
+query_id, so the re-drive is itself fenced, lineage-tracked, and can route
+still-bad rows to a fresh DLQ.
+
+Requires full-record payloads (``apply_batch(dlq_payload="full")`` /
+``write_dlq(payload="full")``): the PII-safe default payload deliberately does
+not carry field values, so a redacted DLQ cannot be re-driven from the DLQ
+alone — re-extract from the source using the opted-in key columns instead.
+``read_dlq`` refuses redacted payloads loudly rather than re-applying rows of
+nulls. Undecodable-envelope records (streaming/envelope.py) surface their
+``_raw_value`` so a ``fix`` can re-decode them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pocket_etl_spark.cdc.apply import ApplyResult, apply_batch
+from pocket_etl_spark.schema import EVENT_SCHEMA
+
+
+def read_dlq(
+    spark: SparkSession,
+    dlq_path: str,
+    schema: T.StructType = EVENT_SCHEMA,
+    stage: str | None = None,
+    batch_ids: list[int] | None = None,
+) -> DataFrame:
+    """Parse full-payload DLQ records back into typed event rows.
+
+    Output = one row per DLQ record with ``schema``'s columns plus
+    ``_raw_value`` (undecodable-envelope payload, null otherwise) and
+    ``_dlq_batch_id`` / ``_dlq_error`` lineage columns. Raises ValueError if
+    any selected record carries the redacted default payload — those hold no
+    field values to re-apply."""
+    df = spark.read.parquet(dlq_path)
+    if stage is not None:
+        df = df.filter(F.col("stage") == stage)
+    if batch_ids is not None:
+        df = df.filter(F.col("batch_id").isin(*[int(b) for b in batch_ids]))
+    # Redacted payloads are a fixed JSON object whose first key is the schema
+    # DDL marker — a full-record payload of an event row can never start with
+    # it (events have no record_schema column by contract).
+    redacted = df.filter(F.col("payload").startswith('{"record_schema":'))
+    if redacted.limit(1).count() > 0:
+        raise ValueError(
+            "read_dlq: DLQ records carry the redacted default payload (no field "
+            "values). Re-drive needs apply_batch(dlq_payload='full'); for "
+            "redacted DLQs re-extract the records from the source by key."
+        )
+    parse_schema = T.StructType(list(schema.fields))
+    if "_raw_value" not in {f.name for f in parse_schema.fields}:
+        parse_schema = T.StructType(
+            list(parse_schema.fields) + [T.StructField("_raw_value", T.StringType(), True)]
+        )
+    return df.select(
+        F.from_json(F.col("payload"), parse_schema).alias("_r"),
+        F.col("batch_id").alias("_dlq_batch_id"),
+        F.col("error").alias("_dlq_error"),
+    ).select("_r.*", "_dlq_batch_id", "_dlq_error")
+
+
+def redrive(
+    spark: SparkSession,
+    dlq_path: str,
+    table,
+    schema: T.StructType = EVENT_SCHEMA,
+    fix: Callable[[DataFrame], DataFrame] | None = None,
+    query_id: str = "redrive",
+    stage: str | None = None,
+    batch_ids: list[int] | None = None,
+    dlq_path_out: str | None = None,
+    **apply_kwargs,
+) -> ApplyResult:
+    """Re-apply a DLQ directory's records through ``apply_batch``.
+
+    ``fix`` sees the parsed event rows (plus ``_raw_value`` /
+    ``_dlq_batch_id`` / ``_dlq_error`` context columns) and returns the
+    corrected frame; the context columns are dropped before the merge if the
+    fix kept them. The re-drive runs under its own ``query_id`` with the next
+    batch id after that query's watermark, so re-running a crashed re-drive is
+    fenced exactly like any other batch; rows still invalid after the fix
+    route to ``dlq_path_out`` when provided (a fresh directory — never looped
+    back into the input DLQ by default)."""
+    events = read_dlq(spark, dlq_path, schema=schema, stage=stage, batch_ids=batch_ids)
+    if fix is not None:
+        events = fix(events)
+    events = events.drop("_dlq_batch_id", "_dlq_error")
+    batch_id = table.last_batch_id(query_id) + 1
+    return apply_batch(
+        events,
+        table,
+        batch_id=batch_id,
+        query_id=query_id,
+        dlq_path=dlq_path_out,
+        **apply_kwargs,
+    )

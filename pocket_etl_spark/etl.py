@@ -494,6 +494,14 @@ class EtlStream:
         pass the string ``"full"`` for a JVM-side to_json of every column, or
         a ``dict -> str`` callable for custom formatting (runs as a Python UDF
         on the failed rows only — the DLQ leg, never the hot path)."""
+        # validate eagerly: an unknown string would otherwise be invoked as a
+        # callable inside the DLQ UDF and fail at executor runtime with an
+        # opaque TypeError (ADVICE r3).
+        if isinstance(fmt, str) and fmt != "full":
+            raise ValueError(
+                f"with_object_logger: unknown mode {fmt!r} — pass 'full' or a "
+                "dict->str callable"
+            )
         return self._copy(object_logger=fmt)
 
     def with_dlq_keys(self, *cols: str) -> "EtlStream":

@@ -239,10 +239,16 @@ class ParquetLakeTable:
             int(b) for b, rel in to_man.items() if since_man.get(b) != rel
         ]
         df = self.read(version=to_v, buckets=changed, include_tombstones=True)
+        # Plain comparison, NOT coalesce(_version, 0): every row a stamped
+        # table stores carries a non-null _version (merge coalesces, overwrite
+        # stamps, compact preserves), and a bare predicate reaches the parquet
+        # scan as PushedFilters [IsNotNull(_version), GreaterThan(_version, N)]
+        # — rowgroup min/max stats then skip carried-forward cold rows inside
+        # rewritten buckets without decoding them. A coalesce-wrapped predicate
+        # is unpushable and would rescan every row of every changed bucket.
+        # (Pinned by tests/test_plans.py::test_read_changes_pushes_version_filter.)
         return (
-            df.filter(
-                F.coalesce(F.col("_version"), F.lit(0)) > F.lit(since_version)
-            )
+            df.filter(F.col("_version") > F.lit(since_version))
             .withColumn(
                 "_change_type",
                 F.when(
@@ -747,10 +753,13 @@ class IcebergLakeTable:
         self.lsn_col = lsn_col
         self.op_col = op_col
         self.num_buckets = num_buckets
-        # ``table_format`` parameterizes the USING clause of engine-created
-        # tables. Deployment default is iceberg; tests exercise the watermark /
-        # fencing SQL hermetically with "parquet" (plain CREATE/INSERT/SELECT —
-        # identical statements, no Iceberg jar needed).
+        # ``table_format`` parameterizes the USING clause of ALL engine-created
+        # tables — the first-merge bootstrap CREATE (unpartitioned for
+        # non-iceberg formats: the bucket transform is Iceberg DDL) and the
+        # watermark table. Deployment default is iceberg; tests exercise the
+        # bootstrap + watermark/fencing SQL hermetically with "parquet"
+        # (identical statements, no Iceberg jar needed). Non-bootstrap merges
+        # need real MERGE INTO support (iceberg) regardless.
         self.table_format = table_format
         # catalog for maintenance CALL procedures (iceberg_maintenance_sql)
         self.catalog = catalog
@@ -847,16 +856,39 @@ class IcebergLakeTable:
         committed in ``(since_version, to_version]``, as data columns +
         ``_change_type`` ('upsert' | 'delete') + ``_commit_version``.
 
-        Scale: the filter on the stamp column pushes into the scan; Iceberg
-        file-level min/max stats skip data files written before the window, so
-        the feed reads only recently-rewritten files, not the whole table."""
+        WINDOW STABILITY (the parquet backend's pinned invariant,
+        lake.py read_changes / test_read_changes_window_is_stable): the
+        delivered window resolves EAGERLY at call time — a merge committing
+        between poll() and the consumer's action must neither widen the window
+        nor re-stamp rows out of it. On Iceberg the table snapshot is pinned
+        at call time (``snapshot-id`` read option on the snapshot current when
+        this method runs — Iceberg snapshots are immutable, so the deferred
+        scan is safe and nothing materializes). On hermetic formats with no
+        snapshot reads (``table_format='parquet'``, the test configuration)
+        the already-filtered window — incremental, so small — is eagerly
+        materialized via ``localCheckpoint`` instead.
+
+        Scale: the bare filter on the stamp column pushes into the scan;
+        Iceberg file-level min/max stats skip data files written before the
+        window, so the feed reads only recently-rewritten files, not the
+        whole table."""
         to_v = self.current_version() if to_version is None else to_version
-        df = self.read(include_tombstones=True)
+        if self.table_format == "iceberg":
+            snap = self.spark.sql(iceberg_current_snapshot_sql(self.table)).collect()
+            reader = self.spark.read
+            if snap:
+                reader = reader.option("snapshot-id", str(snap[0][0]))
+            df = reader.table(self.table)
+        else:
+            df = self.spark.read.table(self.table)
+        windowed = df.filter(
+            (F.col(self.VERSION_COL) > F.lit(since_version))
+            & (F.col(self.VERSION_COL) <= F.lit(to_v))
+        )
+        if self.table_format != "iceberg":
+            windowed = windowed.localCheckpoint(eager=True)
         return (
-            df.filter(
-                (F.coalesce(F.col(self.VERSION_COL), F.lit(0)) > F.lit(since_version))
-                & (F.coalesce(F.col(self.VERSION_COL), F.lit(0)) <= F.lit(to_v))
-            )
+            windowed
             .withColumn(
                 "_change_type",
                 F.when(
@@ -875,7 +907,9 @@ class IcebergLakeTable:
         deduped: bool = False,
     ) -> MergeResult:
         if batch_id is not None and batch_id <= self.last_batch_id(query_id):
-            return MergeResult(False, -1, batch_id, [], {"fenced": True})
+            # same MergeResult shape as the parquet backend's fenced return:
+            # version = the CURRENT committed version, not a sentinel.
+            return MergeResult(False, self.current_version(), batch_id, [], {"fenced": True})
         if not deduped:
             updates = lww_dedupe(
                 updates, self.key_cols, lsn_col=self.lsn_col, op_col=self.op_col
@@ -890,12 +924,14 @@ class IcebergLakeTable:
                 .withColumn(self.VERSION_COL, F.lit(new_version).cast("long"))
                 .drop(self.op_col)
             )
-            (
-                initial.writeTo(self.table)
-                .partitionedBy(F.bucket(self.num_buckets, self.key_cols[0]))
-                .using("iceberg")
-                .create()
-            )
+            writer = initial.writeTo(self.table)
+            if self.table_format == "iceberg":
+                # bucket transform is an Iceberg partition function — hermetic
+                # formats create unpartitioned (bucketing is iceberg-only DDL)
+                writer = writer.partitionedBy(
+                    F.bucket(self.num_buckets, self.key_cols[0])
+                )
+            writer.using(self.table_format).create()
         else:
             self._evolve_schema(updates)
             view = f"_updates_{uuid.uuid4().hex[:8]}"
@@ -966,6 +1002,19 @@ class IcebergLakeTable:
         for st in stmts:
             self.spark.sql(st)
         return stmts
+
+
+def iceberg_current_snapshot_sql(table: str) -> str:
+    """Statement resolving an Iceberg table's current snapshot id from its
+    ``.snapshots`` metadata table — pure string (hermetically testable, same
+    pattern as merge_into_sql); read_changes executes it to pin the feed's
+    snapshot at call time. ``table`` is an engine-controlled identifier."""
+    if not _re.fullmatch(r"[A-Za-z0-9_.]+", table):
+        raise ValueError(f"invalid identifier {table!r}")
+    return (
+        f"SELECT snapshot_id FROM {table}.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    )
 
 
 def iceberg_maintenance_sql(

@@ -145,18 +145,29 @@ def pg_array_column(
     sources like CSV/JDBC that can only carry the serialized form.
 
     All JVM-side: strip braces, split, trim whitespace and surrounding double
-    quotes, cast elements. NULL and ``{}`` map to NULL and empty array.
+    quotes, unescape backslash escapes, cast elements. A column-level NULL and
+    ``{}`` map to NULL and empty array; an UNQUOTED ``NULL`` token means SQL
+    NULL per the pg wire format (a quoted ``"NULL"`` stays the string).
+    Backslash-escaped characters inside quoted elements (``\\"`` → ``"``,
+    ``\\\\`` → ``\\``) are unescaped after quote stripping.
     Limitation (documented): elements containing a literal comma must arrive
     via a structured source (JSON/parquet) instead — CSV-borne pg literals
     with embedded commas are ambiguous without a full quote-aware parser."""
     out = out or col
     body = F.regexp_replace(F.trim(F.col(col)), r"^\{|\}$", "")
+
+    def _elem(e):
+        trimmed = F.trim(e)
+        unquoted = F.regexp_replace(trimmed, r'^"|"$', "")
+        unescaped = F.regexp_replace(unquoted, r"\\(.)", "$1")
+        return (
+            F.when(trimmed == "NULL", F.lit(None).cast(element_type))
+            .otherwise(unescaped.cast(element_type))
+        )
+
     parsed = F.when(F.col(col).isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(
         F.when(body == "", F.array().cast(f"array<{element_type}>")).otherwise(
-            F.transform(
-                F.split(body, ","),
-                lambda e: F.regexp_replace(F.trim(e), r'^"|"$', "").cast(element_type),
-            )
+            F.transform(F.split(body, ","), _elem)
         )
     )
     return df.withColumn(out, parsed)

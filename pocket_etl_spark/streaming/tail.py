@@ -51,6 +51,8 @@ def start_tail(
     checkpoint_dir: str,
     query_id: str = "cdc_tail",
     dlq_path: str | None = None,
+    dlq_keys: tuple[str, ...] = (),
+    dlq_payload: str = "redacted",
     lineage: bool = False,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
@@ -84,6 +86,8 @@ def start_tail(
             batch_id=batch_id,
             query_id=query_id,
             dlq_path=dlq_path,
+            dlq_keys=dlq_keys,
+            dlq_payload=dlq_payload,
             lineage=lineage,
         )
 

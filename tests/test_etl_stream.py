@@ -422,3 +422,18 @@ def test_dlq_default_payload_redacts_values(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown columns"):
         base.with_dlq_keys("nope").load(BufferLoader()).run(spark)
+
+
+def test_with_object_logger_rejects_unknown_string_mode(spark):
+    """ADVICE r3: an unknown string mode fails at construction with a clear
+    error, not at executor runtime inside the DLQ UDF."""
+    import pytest as _pytest
+
+    from pocket_etl_spark.sources import IterableExtractor
+
+    s = EtlStream.extract(IterableExtractor([{"a": 1}], "a long"))
+    with _pytest.raises(ValueError, match="unknown mode"):
+        s.with_object_logger("json")
+    # the two valid forms still construct
+    s.with_object_logger("full")
+    s.with_object_logger(lambda d: str(d))

@@ -180,3 +180,25 @@ def test_evolution_ddl_renders_array_types():
     assert evolution_ddl("t", cur2, inc2) == [
         "ALTER TABLE t ALTER COLUMN sizes TYPE array<bigint>"
     ]
+
+
+def test_pg_array_null_tokens_and_escaped_quotes(spark):
+    """ADVICE r3: an UNQUOTED NULL element is SQL NULL (pg wire format), a
+    quoted "NULL" stays the string; backslash-escaped quotes/backslashes inside
+    quoted elements unescape."""
+    from pocket_etl_spark.sources import pg_array_column
+
+    df = spark.createDataFrame(
+        [
+            ('{a,NULL,"NULL"}',),
+            ('{"say \\"hi\\"","back\\\\slash"}',),
+            ("{}",),
+            (None,),
+        ],
+        "tags string",
+    )
+    rows = pg_array_column(df, "tags").collect()
+    assert rows[0]["tags"] == ["a", None, "NULL"]
+    assert rows[1]["tags"] == ['say "hi"', "back\\slash"]
+    assert rows[2]["tags"] == []
+    assert rows[3]["tags"] is None

