@@ -425,6 +425,54 @@ def q_cdc_op_counts(spark, sf):
     )
 
 
+_FEED_TABLE_CACHE: dict[str, str] = {}
+
+
+def q_cdc_change_feed(spark, sf):
+    """The change feed (ParquetLakeTable.read_changes) run through the REAL
+    merge machinery against a declarative oracle: split events into two
+    batches (even/odd event_id), merge both into a fresh lake table, and
+    return the feed for the second commit's window (1, 2]. Delivered rows =
+    keys whose batch-2 winner beat (or created) the batch-1 winner — the
+    oracle states that set and each key's overall winner directly in SQL;
+    tombstones surface as _change_type='delete' with the delete's payload.
+    Unique event_ids make every argmax tie-free, so both sides are exact."""
+    import os
+    import tempfile
+    import uuid
+
+    from pocket_etl_spark.lake import ParquetLakeTable
+
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "event_type",
+        "value",
+    )
+    path = _FEED_TABLE_CACHE.get(sf)
+    if path is None:
+        path = os.path.join(
+            tempfile.gettempdir(),
+            f"feed_{os.path.basename(sf.rstrip('/'))}_{uuid.uuid4().hex[:12]}",
+        )
+        table = ParquetLakeTable(
+            spark, path, key_cols=["user_id"], num_buckets=8
+        )
+        table.merge(ev.filter(F.col("lsn") % 2 == 0), batch_id=0)
+        table.merge(ev.filter(F.col("lsn") % 2 == 1), batch_id=1)
+        _FEED_TABLE_CACHE[sf] = path
+    table = ParquetLakeTable(spark, path, key_cols=["user_id"], num_buckets=8)
+    return table.read_changes(1).select(
+        "user_id",
+        F.col("lsn").alias("last_lsn"),
+        "event_type",
+        "value",
+        "_change_type",
+        "_commit_version",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators (dedup / similarity / text / multimodal plumbing) —
 # first-class components per the build brief, implemented in operators/*.
@@ -972,6 +1020,29 @@ ORACLE_SQL: dict[str, str] = {
                MIN(event_id) AS min_lsn, MAX(event_id) AS max_lsn
         FROM events GROUP BY event_type
     """,
+    "cdc_change_feed": """
+        WITH ev AS (
+            SELECT user_id, event_id AS lsn,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_type, value
+            FROM events
+        ),
+        w1 AS (SELECT user_id, MAX(lsn) AS m FROM ev WHERE lsn % 2 = 0 GROUP BY user_id),
+        w2 AS (SELECT user_id, MAX(lsn) AS m FROM ev WHERE lsn % 2 = 1 GROUP BY user_id),
+        changed AS (
+            SELECT w2.user_id FROM w2 LEFT JOIN w1 ON w1.user_id = w2.user_id
+            WHERE w1.user_id IS NULL OR w2.m > w1.m
+        ),
+        ranked AS (
+            SELECT ev.*, row_number() OVER (PARTITION BY ev.user_id ORDER BY ev.lsn DESC) AS rn
+            FROM ev JOIN changed ON ev.user_id = changed.user_id
+            WHERE ev.lsn % 2 = 1
+        )
+        SELECT user_id, lsn AS last_lsn, event_type, value,
+               CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END AS _change_type,
+               CAST(2 AS BIGINT) AS _commit_version
+        FROM ranked WHERE rn = 1
+    """,
 }
 
 QUERIES = {
@@ -1001,6 +1072,7 @@ QUERIES = {
     "cdc_lww_salted": q_cdc_lww_salted,
     "cdc_apply_upsert": q_cdc_apply_upsert,
     "cdc_op_counts": q_cdc_op_counts,
+    "cdc_change_feed": q_cdc_change_feed,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,

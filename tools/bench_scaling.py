@@ -386,8 +386,9 @@ backends). The local[2]→local[8] history remains in `BENCH/scaling_runs.jsonl`
 Engine properties that carry the scaling to a real cluster:
 - one hash-partitioned shuffle per merge (packed-long argmax; no wide payload
   through the exchange — lake.py merge);
-- map-side partial aggregation absorbs hot keys before the exchange, so the
-  50%-hot-key run holds the bar (cdc/dedupe.py; SURVEY.md §4.2.2);
+- map-side partial aggregation absorbs hot keys before the exchange — the
+  hot-4N wall lands within {abs(hh['replay_wall_sec'] - uh['replay_wall_sec']) / uh['replay_wall_sec'] * 100:.0f}%
+  of uniform-4N despite half the input hitting one key (cdc/dedupe.py; SURVEY.md §4.2.2);
 - bucket-level copy-on-write bounds each batch's write amplification;
 - all driver-side steps are O(num_buckets + num_promoted_keys), independent of
   event volume.
