@@ -144,6 +144,21 @@ def apply_batch(
     ``dlq_keys``/``dlq_payload`` shape the DLQ record (see write_dlq): default
     is the PII-safe schema+keys payload; 'full' opts into whole-record JSON."""
     t0 = time.time()
+    # Early fence (one driver-side manifest read): a replayed micro-batch must
+    # not redo SIDE EFFECTS — without this, a fenced replay still paid the
+    # full stats pass and RE-APPENDED its bad rows to the DLQ (duplicate DLQ
+    # records per restart, caught by the r5 verify drive). The merge re-checks
+    # the watermark under the same single-writer assumption.
+    if batch_id is not None and batch_id <= table.last_batch_id(query_id):
+        return ApplyResult(
+            merge=MergeResult(
+                False, table.current_version(), batch_id, [], {"fenced": True}
+            ),
+            rows_in=0,
+            rows_bad=0,
+            rows_applied=0,
+            duration_sec=time.time() - t0,
+        )
     prof = Profiler()
     with prof.scope("dlq_split"):
         good, bad = split_invalid(events, table)

@@ -9,13 +9,20 @@ DLQ payloads back into typed event rows, runs an optional caller-supplied
 query_id, so the re-drive is itself fenced, lineage-tracked, and can route
 still-bad rows to a fresh DLQ.
 
+One DLQ record schema across surfaces (batch_id, stage, error, payload, ts):
+the streaming tail / apply DLQ (cdc/apply.write_dlq) and the fluent API's DLQ
+(etl.EtlStream.run, RowSinkLoader) all write it, so this module consumes any
+of them. Fluent-API records carry a null batch_id (a fluent run is not a
+fenced micro-batch) — see the fencing note on ``redrive``.
+
 Requires full-record payloads (``apply_batch(dlq_payload="full")`` /
-``write_dlq(payload="full")``): the PII-safe default payload deliberately does
-not carry field values, so a redacted DLQ cannot be re-driven from the DLQ
-alone — re-extract from the source using the opted-in key columns instead.
-``read_dlq`` refuses redacted payloads loudly rather than re-applying rows of
-nulls. Undecodable-envelope records (streaming/envelope.py) surface their
-``_raw_value`` so a ``fix`` can re-decode them.
+``write_dlq(payload="full")`` / fluent ``with_object_logger("full")``): the
+PII-safe default payload deliberately does not carry field values, so a
+redacted DLQ cannot be re-driven from the DLQ alone — re-extract from the
+source using the opted-in key columns instead. ``read_dlq`` refuses redacted
+payloads loudly rather than re-applying rows of nulls. Undecodable-envelope
+records (streaming/envelope.py) surface their ``_raw_value`` so a ``fix`` can
+re-decode them.
 """
 
 from __future__ import annotations
@@ -26,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pocket_etl_spark.cdc.apply import ApplyResult, apply_batch
+from pocket_etl_spark.cdc.apply import ApplyResult, apply_batch, valid_condition
 from pocket_etl_spark.schema import EVENT_SCHEMA
 
 
@@ -88,16 +95,57 @@ def redrive(
     ``fix`` sees the parsed event rows (plus ``_raw_value`` /
     ``_dlq_batch_id`` / ``_dlq_error`` context columns) and returns the
     corrected frame; the context columns are dropped before the merge if the
-    fix kept them. The re-drive runs under its own ``query_id`` with the next
-    batch id after that query's watermark, so re-running a crashed re-drive is
-    fenced exactly like any other batch; rows still invalid after the fix
-    route to ``dlq_path_out`` when provided (a fresh directory — never looped
-    back into the input DLQ by default)."""
+    fix kept them.
+
+    Fencing (ADVICE r4): when every selected record carries a batch id, the
+    re-drive's batch id is the MAX input ``_dlq_batch_id`` and records at or
+    below the ``query_id`` watermark are filtered out before the merge — the
+    watermark doubles as the DLQ consumption cursor, so re-running a SUCCEEDED
+    re-drive is a fenced no-op (no spurious re-stamps into the change feed),
+    and a later re-drive of the same directory consumes only the new batches.
+    Use one ``query_id`` per DLQ directory — the cursor is per query_id.
+    Records with a NULL batch id (fluent-API DLQs) carry no replay cursor:
+    those re-drives run under ``last_batch_id + 1`` and re-running one
+    re-applies the whole selection — idempotent on table STATE via the LWW
+    guard, but incoming-wins-on-tie re-stamps identical rows with a new
+    ``_version``, so change-feed consumers see value-identical upserts;
+    select explicitly with ``batch_ids``/``stage`` to bound that.
+
+    Rows still invalid after the fix route to ``dlq_path_out`` when provided
+    (a fresh directory — never looped back into the input DLQ by default);
+    with ``dlq_path_out=None`` the re-drive RAISES if any row is still
+    invalid (ADVICE r4: silently dropping them while reporting rows_bad=0
+    would commit the watermark over lost records)."""
     events = read_dlq(spark, dlq_path, schema=schema, stage=stage, batch_ids=batch_ids)
     if fix is not None:
         events = fix(events)
+    last = table.last_batch_id(query_id)
+    if "_dlq_batch_id" in events.columns:
+        ids = events.agg(
+            F.max("_dlq_batch_id").alias("mx"),
+            F.sum(
+                F.when(F.col("_dlq_batch_id").isNull(), 1).otherwise(0)
+            ).alias("nulls"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+    else:  # fix dropped the lineage column — no cursor to derive
+        ids = {"mx": None, "nulls": 0, "n": 0}
+    if ids["n"] and ids["mx"] is not None and not ids["nulls"]:
+        # cursor mode: consume only batches past the watermark; the merge's
+        # own fence makes a same-max re-run a committed=False no-op.
+        events = events.filter(F.col("_dlq_batch_id") > F.lit(last))
+        batch_id = int(ids["mx"])
+    else:
+        batch_id = last + 1
     events = events.drop("_dlq_batch_id", "_dlq_error")
-    batch_id = table.last_batch_id(query_id) + 1
+    if dlq_path_out is None:
+        still_bad = events.filter(~valid_condition(events, table)).count()
+        if still_bad:
+            raise ValueError(
+                f"redrive: {still_bad} rows are still invalid after fix and no "
+                "dlq_path_out is configured to route them — re-applying would "
+                "silently drop them. Pass dlq_path_out or repair them in fix()."
+            )
     return apply_batch(
         events,
         table,

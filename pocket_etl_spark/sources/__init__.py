@@ -144,25 +144,33 @@ def pg_array_column(
     a typed ``array<element_type>`` column — the read-side inverse, for flat
     sources like CSV/JDBC that can only carry the serialized form.
 
-    All JVM-side: strip braces, split, trim whitespace and surrounding double
-    quotes, unescape backslash escapes, cast elements. A column-level NULL and
-    ``{}`` map to NULL and empty array; an UNQUOTED ``NULL`` token means SQL
-    NULL per the pg wire format (a quoted ``"NULL"`` stays the string).
-    Backslash-escaped characters inside quoted elements (``\\"`` → ``"``,
-    ``\\\\`` → ``\\``) are unescaped after quote stripping.
+    All JVM-side: strip braces, split, trim whitespace, then per element:
+    a QUOTED element is recognized as a whole (``^"((?:\\.|[^"\\])*)"$`` — the
+    closing quote must be unescaped, so ``"a\\""`` parses to ``a"`` rather
+    than losing the escaped quote, ADVICE r4) and its body unescaped
+    (``\\"`` → ``"``, ``\\\\`` → ``\\``); an UNQUOTED element is cast as-is
+    (pg quotes any element containing specials, so unquoted text carries no
+    escapes). A column-level NULL and ``{}`` map to NULL and empty array; an
+    UNQUOTED ``NULL`` token means SQL NULL per the pg wire format (a quoted
+    ``"NULL"`` stays the string). A malformed element (e.g. a lone leading
+    quote) is kept verbatim rather than half-stripped.
     Limitation (documented): elements containing a literal comma must arrive
     via a structured source (JSON/parquet) instead — CSV-borne pg literals
     with embedded commas are ambiguous without a full quote-aware parser."""
     out = out or col
     body = F.regexp_replace(F.trim(F.col(col)), r"^\{|\}$", "")
+    # full quoted element: body = any run of escaped chars / non-specials,
+    # anchored so the terminating quote can never be an escaped one
+    _QUOTED = r'^"((?:\\.|[^"\\])*)"$'
 
     def _elem(e):
         trimmed = F.trim(e)
-        unquoted = F.regexp_replace(trimmed, r'^"|"$', "")
-        unescaped = F.regexp_replace(unquoted, r"\\(.)", "$1")
+        quoted_body = F.regexp_extract(trimmed, _QUOTED, 1)
+        unescaped = F.regexp_replace(quoted_body, r"\\(.)", "$1")
         return (
             F.when(trimmed == "NULL", F.lit(None).cast(element_type))
-            .otherwise(unescaped.cast(element_type))
+            .when(trimmed.rlike(_QUOTED), unescaped.cast(element_type))
+            .otherwise(trimmed.cast(element_type))
         )
 
     parsed = F.when(F.col(col).isNull(), F.lit(None).cast(f"array<{element_type}>")).otherwise(

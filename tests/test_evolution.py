@@ -192,6 +192,9 @@ def test_pg_array_null_tokens_and_escaped_quotes(spark):
         [
             ('{a,NULL,"NULL"}',),
             ('{"say \\"hi\\"","back\\\\slash"}',),
+            ('{"a\\""}',),  # ADVICE r4: element ENDING in an escaped quote
+            ('{"\\"lead","\\\\"}',),  # leading escaped quote; lone backslash
+            ('{"unterminated}',),  # malformed: kept verbatim, not half-stripped
             ("{}",),
             (None,),
         ],
@@ -200,5 +203,8 @@ def test_pg_array_null_tokens_and_escaped_quotes(spark):
     rows = pg_array_column(df, "tags").collect()
     assert rows[0]["tags"] == ["a", None, "NULL"]
     assert rows[1]["tags"] == ['say "hi"', "back\\slash"]
-    assert rows[2]["tags"] == []
-    assert rows[3]["tags"] is None
+    assert rows[2]["tags"] == ['a"']
+    assert rows[3]["tags"] == ['"lead', "\\"]
+    assert rows[4]["tags"] == ['"unterminated']
+    assert rows[5]["tags"] == []
+    assert rows[6]["tags"] is None

@@ -58,14 +58,94 @@ def test_redrive_is_fenced_and_routes_still_bad_rows(spark, tmp_path):
     r1 = redrive(spark, dlq, table, dlq_path_out=dlq_out, dlq_payload="full")
     assert r1.rows_bad == 100
     assert spark.read.parquet(dlq_out).count() == 100
+    assert r1.merge.batch_id == 0  # derived from max input _dlq_batch_id
     state_after = table.read().count()
+    version_after = table.current_version()
 
-    # re-running the same redrive under the same query_id is fenced out by
-    # batch-id watermark only for the SAME batch id; our API advances the id,
-    # and the merge guard makes the replay a semantic no-op either way
+    # re-running a SUCCEEDED redrive is a fenced no-op (ADVICE r4): the
+    # query_id watermark doubles as the DLQ consumption cursor, so the same
+    # selection derives the SAME batch id, the already-consumed records are
+    # filtered out, and nothing is re-stamped into the change feed
     r2 = redrive(spark, dlq, table, dlq_path_out=str(tmp_path / "dlq_out2"), dlq_payload="full")
+    assert not r2.merge.committed
+    assert r2.merge.batch_id == r1.merge.batch_id
     assert table.read().count() == state_after
-    assert r2.merge.batch_id == r1.merge.batch_id + 1
+    assert table.current_version() == version_after
+
+    # a NEW DLQ batch after the cursor IS consumed by the next redrive
+    more = gen_change_events(spark, n_events=200, n_keys=20, seed=31)
+    apply_batch(_poison(more), table, batch_id=1, dlq_path=dlq, dlq_payload="full")
+    r3 = redrive(
+        spark, dlq, table,
+        fix=lambda df: df.withColumn(
+            "op", F.when(F.col("op") == "X", F.lit("U")).otherwise(F.col("op"))
+        ),
+        dlq_payload="full",
+    )
+    assert r3.merge.committed and r3.merge.batch_id == 1
+    # only the 20 new batch-1 rows entered the merge (batch-0 rows are past
+    # the cursor); the table grew by at most those keys
+    assert r3.rows_in == 20
+
+
+def test_redrive_without_dlq_out_raises_on_still_invalid(spark, tmp_path):
+    """ADVICE r4 (medium): with dlq_path_out=None, still-invalid rows must
+    never be silently dropped under a committed watermark — the re-drive
+    raises before merging anything."""
+    events = gen_change_events(spark, n_events=500, n_keys=30, seed=37)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    dlq = str(tmp_path / "dlq")
+    apply_batch(_poison(events), table, batch_id=0, dlq_path=dlq, dlq_payload="full")
+    before = table.last_batch_id("redrive")
+    with pytest.raises(ValueError, match="still invalid"):
+        redrive(spark, dlq, table)  # no fix, no dlq_path_out
+    assert table.last_batch_id("redrive") == before  # nothing committed
+
+
+def test_redrive_consumes_fluent_api_dlq(spark, tmp_path):
+    """VERDICT r4 missing #2: the fluent API writes the SAME DLQ record schema
+    as the tail (batch_id, stage, error, payload, ts), so read_dlq/redrive
+    close the loop on transformer failures (TransformerEtlConsumer.java:90-99)."""
+    from pocket_etl_spark.etl import BufferLoader, EtlStream
+    from pocket_etl_spark.sources import IterableExtractor
+
+    events = gen_change_events(spark, n_events=400, n_keys=40, seed=41)
+    rows = [r.asDict() for r in events.drop("ts", "extras").collect()]
+
+    def boom(pdf):
+        if (pdf["lsn"] % 7 == 0).any():
+            raise ValueError("poison partition")
+        return pdf
+
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                    for f in events.drop("ts", "extras").schema.fields)
+    stream = (
+        EtlStream.extract(IterableExtractor(rows, ddl))
+        .with_name("cdc_fluent")
+        .map_rows(boom)
+        .with_object_logger("full")
+        .load(BufferLoader())
+    )
+    dlq = str(tmp_path / "fluent_dlq")
+    res = stream.run(spark, dlq_path=dlq)
+    assert res.dlq_count > 0
+    # unified schema on disk
+    got = spark.read.parquet(dlq)
+    assert set(got.columns) == {"batch_id", "stage", "error", "payload", "ts"}
+    assert got.filter(F.col("stage") == "cdc_fluent").count() == res.dlq_count
+
+    # redrive the fluent failures into a lake table (null batch ids → the
+    # documented cursor-less mode)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    schema = events.drop("ts", "extras").schema
+    rres = redrive(spark, dlq, table, schema=schema, stage="cdc_fluent")
+    assert rres.merge.committed and rres.rows_bad == 0
+    dlq_events = (
+        read_dlq(spark, dlq, schema=schema)
+        .drop("_raw_value", "_dlq_batch_id", "_dlq_error")
+        .toPandas()
+    )
+    assert_state_equals_oracle(table, dlq_events)
 
 
 def test_read_dlq_refuses_redacted_payloads(spark, tmp_path):

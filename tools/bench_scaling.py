@@ -159,9 +159,13 @@ def _run_cell(pyzip: str, cores: int, hot: float) -> dict:
 
 
 def _config() -> dict:
+    # The argmax strategy is part of the pooling key (ADVICE r4): two merge
+    # code paths (shuffle vs sortagg) are two different engines to benchmark,
+    # so their walls must never pool into one headline.
     return {
         "events": N_EVENTS, "keys": N_KEYS, "batches": N_BATCHES,
         "scaling_n": SCALING_N, "seed": SEED,
+        "argmax": os.environ.get("SCALING_ARGMAX", "shuffle"),
     }
 
 
@@ -173,7 +177,6 @@ def _append_run(cells: dict[tuple[int, float], dict]) -> None:
             timespec="seconds"
         ),
         **_config(),
-        "argmax": os.environ.get("SCALING_ARGMAX", "shuffle"),
         "repeats": int(os.environ.get("SCALING_REPEATS", "2")),
         "cells": list(cells.values()),
     }
