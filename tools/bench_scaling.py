@@ -237,6 +237,16 @@ def orchestrate() -> None:
 
     lo, hi = SCALING_N, SCALING_N * 4
     cells = [(lo, 0.0), (hi, 0.0), (lo, 0.5), (hi, 0.5)]
+    # SCALING_CELLS: optional comma list (u1,u4,h1,h4) to measure a subset in
+    # this pass — e.g. drop the hot-N cell, which feeds only the DISCLOSED
+    # self-baseline ratio, to spend a measurement window entirely on the three
+    # GATED cells (uniform-N, uniform-4N, hot-4N). The run record carries
+    # exactly the cells measured; pooling merges per cell across records, and
+    # the gated ratios' cells keep equal sampling depth.
+    sel = os.environ.get("SCALING_CELLS", "")
+    if sel:
+        names = {"u1": (lo, 0.0), "u4": (hi, 0.0), "h1": (lo, 0.5), "h4": (hi, 0.5)}
+        cells = [names[s.strip()] for s in sel.split(",") if s.strip()]
     results: dict[tuple[int, float], dict] = {}
     for cores, hot in cells:
         print(f"--- spark-submit local[{cores}] hot={hot} ...", flush=True)
@@ -244,7 +254,7 @@ def orchestrate() -> None:
         print(json.dumps(r), flush=True)
         results[(cores, hot)] = r
     _append_run(results)
-    _emit(cells, lo, hi)
+    _emit([(lo, 0.0), (hi, 0.0), (lo, 0.5), (hi, 0.5)], lo, hi)
 
 
 def emit_from_log(log_path: str) -> None:
