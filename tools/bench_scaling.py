@@ -248,12 +248,17 @@ def orchestrate() -> None:
         names = {"u1": (lo, 0.0), "u4": (hi, 0.0), "h1": (lo, 0.5), "h4": (hi, 0.5)}
         cells = [names[s.strip()] for s in sel.split(",") if s.strip()]
     results: dict[tuple[int, float], dict] = {}
-    for cores, hot in cells:
-        print(f"--- spark-submit local[{cores}] hot={hot} ...", flush=True)
-        r = _run_cell(pyzip, cores, hot)
-        print(json.dumps(r), flush=True)
-        results[(cores, hot)] = r
-    _append_run(results)
+    try:
+        for cores, hot in cells:
+            print(f"--- spark-submit local[{cores}] hot={hot} ...", flush=True)
+            r = _run_cell(pyzip, cores, hot)
+            print(json.dumps(r), flush=True)
+            results[(cores, hot)] = r
+    finally:
+        # A crashed pass still records the cells it finished — pooling merges
+        # per cell, so partial passes add sampling depth instead of vanishing.
+        if results:
+            _append_run(results)
     _emit([(lo, 0.0), (hi, 0.0), (lo, 0.5), (hi, 0.5)], lo, hi)
 
 
@@ -278,9 +283,13 @@ def emit_from_log(log_path: str) -> None:
                     r["replay_wall_sec"] = round(min(walls), 2)
                     r["events_per_sec"] = round(N_EVENTS / min(walls), 1)
                 results[key] = r
+    if not results:
+        raise SystemExit("log contains no RESULT lines")
+    # A gated-cell (SCALING_CELLS) or crashed pass records whatever cells it
+    # measured; pooling merges per cell, so partial records are still useful.
     missing = [c for c in cells if c not in results]
     if missing:
-        raise SystemExit(f"log lacks cells: {missing}")
+        print(f"note: recording partial pass; cells not in log: {missing}")
     _append_run(results)
     _emit(cells, lo, hi)
 
