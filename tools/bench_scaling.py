@@ -358,6 +358,12 @@ def _emit(cells, lo: int, hi: int) -> None:
 
     ul, uh = results[(lo, 0.0)], results[(hi, 0.0)]
     hl, hh = results[(lo, 0.5)], results[(hi, 0.5)]
+    _hot_gap_pct = abs(hh["replay_wall_sec"] - uh["replay_wall_sec"]) / uh["replay_wall_sec"] * 100
+    hot_vs_uniform_4n = (
+        f"runs {_hot_gap_pct:.0f}% faster than uniform-4N"
+        if hh["replay_wall_sec"] <= uh["replay_wall_sec"]
+        else f"lands within {_hot_gap_pct:.0f}% of uniform-4N"
+    )
     per_pass_rows = "".join(
         f"| {r['date_utc']} | {r.get('uniform', '—')} | {r.get('hot_vs_uniform_N', '—')} |\n"
         for r in per_pass
@@ -453,8 +459,8 @@ Engine properties that carry the scaling to a real cluster:
 - one hash-partitioned shuffle per merge (packed-long argmax; no wide payload
   through the exchange — lake.py merge);
 - map-side partial aggregation absorbs hot keys before the exchange — the
-  hot-4N wall lands within {abs(hh['replay_wall_sec'] - uh['replay_wall_sec']) / uh['replay_wall_sec'] * 100:.0f}%
-  of uniform-4N despite half the input hitting one key (cdc/dedupe.py; SURVEY.md §4.2.2);
+  hot-4N wall {hot_vs_uniform_4n}
+  despite half the input hitting one key (cdc/dedupe.py; SURVEY.md §4.2.2);
 - bucket-level copy-on-write bounds each batch's write amplification;
 - all driver-side steps are O(num_buckets + num_promoted_keys), independent of
   event volume.
