@@ -414,7 +414,9 @@ class EtlStream:
             out_fields = [f for f in df.schema.fields if f.name not in drops]
             schema = T.StructType(out_fields)
             for col, ddl in (adds or {}).items():
-                schema = schema.add(col, ddl)
+                # StructType.add(name, str) JSON-parses the type and rejects DDL
+                # shorthands ("int", "array<float>"); fromDDL accepts full DDL.
+                schema = schema.add(T.StructType.fromDDL(f"`{col}` {ddl}").fields[0])
             schema = schema.add(_ERR_COL, T.StringType())
             out_cols = [f.name for f in schema.fields]
 

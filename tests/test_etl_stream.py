@@ -95,6 +95,26 @@ def test_map_rows_fanout(spark):
     assert {r["side"] for r in buf.rows} == {"L", "R"}
 
 
+def test_map_rows_adds_accepts_ddl_shorthand(spark):
+    """`adds` is documented as Spark DDL — shorthand ("int") and nested
+    ("array<float>") types must parse, not just JSON-datatype names
+    (regression: README quick-start used adds={"flag": "int"})."""
+    import pandas as pd
+
+    buf = BufferLoader()
+    (
+        EtlStream.extract(_src(spark))
+        .map_rows(
+            lambda pdf: pdf.assign(flag=1, emb=[[1.0, 2.0]] * len(pdf)),
+            adds={"flag": "int", "emb": "array<float>"},
+        )
+        .load(buf)
+        .run(spark)
+    )
+    assert len(buf.rows) == 10
+    assert all(r["flag"] == 1 and list(r["emb"]) == [1.0, 2.0] for r in buf.rows)
+
+
 def test_map_rows_tunnelling(spark):
     """Columns the transform doesn't touch tunnel through untouched
     (EtlStreamObject.java:98-134)."""
