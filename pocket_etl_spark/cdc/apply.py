@@ -50,11 +50,19 @@ class ApplyResult:
 
 
 def valid_condition(events: DataFrame, table: ParquetLakeTable):
-    """Validity predicate for a change event: non-null key / lsn, known op."""
+    """Validity predicate for a change event: non-null key / lsn, known op.
+
+    Null-safe by construction: bare ``isin`` over a NULL op yields SQL NULL,
+    which both ``filter(cond)`` and ``filter(~cond)`` exclude — a NULL-op row
+    would silently vanish (neither merged nor DLQ'd) while the watermark
+    commits. The explicit ``op IS NOT NULL`` conjunct forces FALSE instead
+    (FALSE AND NULL = FALSE), routing it to the invalid leg — and unlike a
+    ``coalesce`` wrapper, a plain conjunction stays scan-pushable."""
     key_ok = F.lit(True)
     for k in table.key_cols:
         key_ok = key_ok & F.col(k).isNotNull()
-    return key_ok & F.col(table.lsn_col).isNotNull() & F.col(table.op_col).isin(*VALID_OPS)
+    op = F.col(table.op_col)
+    return key_ok & F.col(table.lsn_col).isNotNull() & op.isNotNull() & op.isin(*VALID_OPS)
 
 
 def split_invalid(events: DataFrame, table: ParquetLakeTable) -> tuple[DataFrame, DataFrame]:

@@ -51,7 +51,21 @@ def read_dlq(
     ``_dlq_batch_id`` / ``_dlq_error`` lineage columns. Raises ValueError if
     any selected record carries the redacted default payload — those hold no
     field values to re-apply."""
-    df = spark.read.parquet(dlq_path)
+    # mergeSchema: a directory may mix layouts (a pre-unification fluent DLQ
+    # wrote (stream, error, payload, ts); the unified schema is (batch_id,
+    # stage, error, payload, ts)) — a single sampled footer would otherwise
+    # either miss `stage`/`batch_id` entirely or surface legacy records with
+    # stage=NULL and silently exclude them from the stage filter.
+    df = spark.read.option("mergeSchema", "true").parquet(dlq_path)
+    if "stream" in df.columns:  # legacy fluent layout → adapt
+        stage_col = (
+            F.coalesce(F.col("stage"), F.col("stream"))
+            if "stage" in df.columns
+            else F.col("stream")
+        )
+        df = df.withColumn("stage", stage_col).drop("stream")
+    if "batch_id" not in df.columns:  # legacy records carry no replay cursor
+        df = df.withColumn("batch_id", F.lit(None).cast("long"))
     if stage is not None:
         df = df.filter(F.col("stage") == stage)
     if batch_ids is not None:
@@ -105,11 +119,14 @@ def redrive(
     and a later re-drive of the same directory consumes only the new batches.
     Use one ``query_id`` per DLQ directory — the cursor is per query_id.
     Records with a NULL batch id (fluent-API DLQs) carry no replay cursor:
-    those re-drives run under ``last_batch_id + 1`` and re-running one
-    re-applies the whole selection — idempotent on table STATE via the LWW
-    guard, but incoming-wins-on-tie re-stamps identical rows with a new
-    ``_version``, so change-feed consumers see value-identical upserts;
-    select explicitly with ``batch_ids``/``stage`` to bound that.
+    re-running a selection containing them re-applies the null-id rows —
+    idempotent on table STATE via the LWW guard, but incoming-wins-on-tie
+    re-stamps identical rows with a new ``_version``, so change-feed
+    consumers see value-identical upserts; select explicitly with
+    ``batch_ids``/``stage`` to bound that. Batch-carrying records in the
+    SAME selection keep their cursor: they are fenced against the watermark
+    exactly as in cursor mode, and the re-drive's batch id advances past
+    both the max input batch and the current watermark.
 
     Rows still invalid after the fix route to ``dlq_path_out`` when provided
     (a fresh directory — never looped back into the input DLQ by default);
@@ -119,6 +136,13 @@ def redrive(
     events = read_dlq(spark, dlq_path, schema=schema, stage=stage, batch_ids=batch_ids)
     if fix is not None:
         events = fix(events)
+    # One materialization feeds the cursor aggregate, the still-invalid guard
+    # AND the merge: without it an expensive fix() re-executes per action, and
+    # a non-deterministic fix() could pass the guard on one evaluation while
+    # producing an invalid row on the merge's — which split_invalid would then
+    # drop under a committed watermark (DLQ selections are small by nature).
+    persisted = events.persist()
+    events = persisted
     last = table.last_batch_id(query_id)
     if "_dlq_batch_id" in events.columns:
         ids = events.agg(
@@ -135,22 +159,34 @@ def redrive(
         # own fence makes a same-max re-run a committed=False no-op.
         events = events.filter(F.col("_dlq_batch_id") > F.lit(last))
         batch_id = int(ids["mx"])
+    elif ids["n"] and ids["mx"] is not None:
+        # mixed: one null-id (fluent) record must not strip fencing from the
+        # batch-carrying records in the same directory — fence those against
+        # the watermark as in cursor mode; only the cursor-less null-id rows
+        # re-apply on a re-run (the documented fluent at-least-once).
+        events = events.filter(
+            F.col("_dlq_batch_id").isNull() | (F.col("_dlq_batch_id") > F.lit(last))
+        )
+        batch_id = max(int(ids["mx"]), last + 1)
     else:
         batch_id = last + 1
-    events = events.drop("_dlq_batch_id", "_dlq_error")
-    if dlq_path_out is None:
-        still_bad = events.filter(~valid_condition(events, table)).count()
-        if still_bad:
-            raise ValueError(
-                f"redrive: {still_bad} rows are still invalid after fix and no "
-                "dlq_path_out is configured to route them — re-applying would "
-                "silently drop them. Pass dlq_path_out or repair them in fix()."
-            )
-    return apply_batch(
-        events,
-        table,
-        batch_id=batch_id,
-        query_id=query_id,
-        dlq_path=dlq_path_out,
-        **apply_kwargs,
-    )
+    kept = events.drop("_dlq_batch_id", "_dlq_error")
+    try:
+        if dlq_path_out is None:
+            still_bad = kept.filter(~valid_condition(kept, table)).count()
+            if still_bad:
+                raise ValueError(
+                    f"redrive: {still_bad} rows are still invalid after fix and no "
+                    "dlq_path_out is configured to route them — re-applying would "
+                    "silently drop them. Pass dlq_path_out or repair them in fix()."
+                )
+        return apply_batch(
+            kept,
+            table,
+            batch_id=batch_id,
+            query_id=query_id,
+            dlq_path=dlq_path_out,
+            **apply_kwargs,
+        )
+    finally:
+        persisted.unpersist()

@@ -194,7 +194,9 @@ class RowSinkLoader(Loader):
     (partition-parallel, Arrow-batched transfer); a record whose write raises
     is routed to the sink DLQ (``dlq_path`` parquet + the returned counts)
     and the stream continues. Raise UnrecoverableStreamFailure inside
-    ``write_fn`` to abort the run instead.
+    ``write_fn`` to abort the run instead. The DLQ payload follows the
+    stream's object-logger policy: PII-safe redacted by default,
+    ``with_object_logger('full')`` opts into the whole record.
 
     The per-record Python loop is the SINK's own contract here (a
     row-at-a-time put-item API), not a transform hot path — batch-capable
@@ -234,15 +236,20 @@ class RowSinkLoader(Loader):
             n_failed = res.filter(F.col(_ERR_COL).isNotNull()).count()
             n_total = res.count()
             if n_failed and self.dlq_path is not None:
+                # unified DLQ record schema (see EtlStream.run), under the
+                # SAME object-logger policy: payload is PII-safe redacted by
+                # default; with_object_logger('full') opts into the whole
+                # record (required for redrive)
+                payload = _dlq_payload_expr(
+                    df.schema.fields, cols, stream._object_logger, stream._dlq_key_cols
+                )
                 (
                     res.filter(F.col(_ERR_COL).isNotNull())
-                    # unified DLQ record schema (see EtlStream.run) — sink
-                    # failures are redrive-able like any other DLQ record
                     .select(
                         F.lit(None).cast("long").alias("batch_id"),
                         F.lit(stream._name).alias("stage"),
                         F.col(_ERR_COL).alias("error"),
-                        F.to_json(F.struct(*cols)).alias("payload"),
+                        payload.alias("payload"),
                         F.current_timestamp().alias("ts"),
                     )
                     .write.mode("append")
@@ -294,6 +301,29 @@ class RunResult:
 # ---------------------------------------------------------------------------
 
 _ERR_COL = "_etl_error"
+
+
+def _dlq_payload_expr(fields, data_cols, fmt, dlq_key_cols):
+    """DLQ payload column under the stream's object-logger mode — ONE policy
+    for every fluent surface (EtlStream.run and RowSinkLoader must agree, or a
+    sink DLQ would leak what the stream DLQ redacts). ``fmt`` None → PII-safe
+    default (schema DDL + opted-in key columns only — DefaultLoggingStrategy
+    .java:27-36 logs class info, never field values); 'full' → whole-record
+    JSON (required for redrive); callable → custom formatter, failed rows only."""
+    if fmt is None:
+        missing = [c for c in dlq_key_cols if c not in data_cols]
+        if missing:
+            raise ValueError(f"with_dlq_keys: unknown columns {missing}")
+        schema_ddl = T.StructType(
+            [f for f in fields if f.name != _ERR_COL]
+        ).simpleString()
+        parts = [F.lit(schema_ddl).alias("record_schema")]
+        if dlq_key_cols:
+            parts.append(F.struct(*dlq_key_cols).alias("keys"))
+        return F.to_json(F.struct(*parts))
+    if fmt == "full":
+        return F.to_json(F.struct(*data_cols))
+    return F.udf(lambda r: fmt(r.asDict()), T.StringType())(F.struct(*data_cols))
 
 
 @dataclass(frozen=True)
@@ -579,30 +609,10 @@ class EtlStream:
             if _ERR_COL in df.columns:
                 persisted = df.persist()
                 err = persisted.filter(F.col(_ERR_COL).isNotNull())
-                fmt = self._object_logger
                 data_cols = [c for c in df.columns if c != _ERR_COL]
-                if fmt is None:
-                    # PII-safe default (DefaultLoggingStrategy.java:27-36):
-                    # schema + opted-in key columns only — a DLQ directory of
-                    # raw records is a governance hazard at deployment scale.
-                    missing = [c for c in self._dlq_key_cols if c not in data_cols]
-                    if missing:
-                        raise ValueError(f"with_dlq_keys: unknown columns {missing}")
-                    schema_ddl = T.StructType(
-                        [f for f in df.schema.fields if f.name != _ERR_COL]
-                    ).simpleString()
-                    parts = [F.lit(schema_ddl).alias("record_schema")]
-                    if self._dlq_key_cols:
-                        parts.append(
-                            F.struct(*self._dlq_key_cols).alias("keys")
-                        )
-                    payload = F.to_json(F.struct(*parts))
-                elif fmt == "full":
-                    payload = F.to_json(F.struct(*data_cols))
-                else:
-                    payload = F.udf(lambda r: fmt(r.asDict()), T.StringType())(
-                        F.struct(*data_cols)
-                    )
+                payload = _dlq_payload_expr(
+                    df.schema.fields, data_cols, self._object_logger, self._dlq_key_cols
+                )
                 # ONE DLQ record schema across surfaces (VERDICT r4 missing
                 # #2): (batch_id, stage, error, payload, ts) — identical to
                 # the tail/apply DLQ (cdc/apply.write_dlq), so

@@ -241,7 +241,16 @@ class ParquetLakeTable:
         # window, or ChangeFeedCursor would deliver rows from a version it
         # never committed. (The bucket dirs below are version-addressed paths,
         # immutable once written, so the deferred scan is safe.)
-        to_v = self.current_version() if to_version is None else to_version
+        current = self.current_version()
+        to_v = current if to_version is None else to_version
+        if to_v > current:
+            # a caller-supplied upper bound past HEAD is cursor-bookkeeping
+            # gone wrong, not retention — don't misdiagnose it as a pruned
+            # manifest and send the consumer into a pointless re-bootstrap
+            raise ValueError(
+                f"read_changes: to_version={to_v} is ahead of the table's "
+                f"current version {current}"
+            )
         try:
             since_man = self._manifest(since_version)["buckets"]
             to_man = self._manifest(to_v)["buckets"]
@@ -638,12 +647,25 @@ class ParquetLakeTable:
             )
         cur = self.current_version()
         keep = set()
-        min_readable = max(1, cur - keep_versions + 1)
+        # Effective readable floor: monotone over past vacuums. Every manifest
+        # at or above it is guaranteed to exist (keep_manifests >= keep_versions
+        # means pruning only ever removes manifests BELOW the marker written in
+        # the same vacuum), so a missing one here is metadata corruption —
+        # abort before any rmtree rather than silently dropping that version's
+        # bucket dirs from the keep set (recoverable metadata loss must not
+        # become permanent data loss).
+        prev = self._vacuum_info()
+        floor = int(prev["min_readable_version"]) if prev is not None else 1
+        min_readable = max(1, cur - keep_versions + 1, floor)
         for v in range(min_readable, cur + 1):
             try:
                 man = self._manifest(v)
             except FileNotFoundError:
-                continue  # pruned by an earlier, tighter keep_manifests
+                raise ValueError(
+                    f"vacuum: manifest for version {v} is missing but {v} is "
+                    f"inside the readable window [{min_readable}, {cur}] — "
+                    "metadata corruption; aborting before removing any data"
+                ) from None
             keep.update(
                 os.path.normpath(rel).split(os.sep)[1]
                 for rel in man["buckets"].values()
@@ -654,11 +676,10 @@ class ParquetLakeTable:
             if d not in keep:
                 shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
                 removed += 1
-        # Record the time-travel boundary (monotone: repeated vacuums with a
-        # larger keep_versions cannot re-open versions whose data is gone).
-        prev = self._vacuum_info()
-        if prev is not None:
-            min_readable = max(min_readable, int(prev["min_readable_version"]))
+        # Record the time-travel boundary (monotone by construction above:
+        # min_readable already folds in the previous marker, so repeated
+        # vacuums with a larger keep_versions cannot re-open versions whose
+        # data is gone).
         marker = {
             "min_readable_version": min_readable,
             "keep_versions": keep_versions,

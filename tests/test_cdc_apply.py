@@ -110,6 +110,25 @@ def test_dlq_routes_invalid_rows(spark, tmp_table_path, tmp_path):
     assert_state_equals_oracle(table, good_pdf)
 
 
+def test_null_op_rows_route_to_dlq_not_lost(spark, tmp_table_path, tmp_path):
+    """A NULL op makes bare `isin` evaluate to SQL NULL, which both filter(cond)
+    and filter(~cond) exclude — the row would vanish (neither merged nor DLQ'd)
+    while the watermark commits. valid_condition must force FALSE instead."""
+    from pyspark.sql import functions as F
+
+    events = gen_change_events(spark, n_events=1000, n_keys=50, seed=13)
+    poisoned = events.withColumn(
+        "op", F.when(F.pmod(F.col("lsn"), F.lit(10)) == 0, F.lit(None)).otherwise(F.col("op"))
+    )
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=4)
+    dlq = str(tmp_path / "dlq")
+    res = apply_batch(poisoned, table, batch_id=0, dlq_path=dlq)
+    assert res.rows_bad == 100
+    assert spark.read.parquet(dlq).count() == 100  # counted AND written, not lost
+    good_pdf = poisoned.filter(F.col("op").isin("I", "U", "D")).toPandas()
+    assert_state_equals_oracle(table, good_pdf)
+
+
 def test_sortagg_fallback_matches_oracle(spark, tmp_table_path):
     """argmax_strategy="sortagg" (the max_by fallback for winner sets too large to
     broadcast) must produce the exact same table state as the broadcast path."""

@@ -383,6 +383,29 @@ def test_row_sink_loader_routes_record_failures_to_dlq(spark, tmp_path):
     dlq_rows = spark.read.parquet(dlq).collect()
     assert len(dlq_rows) == 1
     assert "conditional check failed" in dlq_rows[0]["error"]
+    # the sink DLQ follows the SAME PII policy as the stream DLQ: redacted by
+    # default — schema only, never field values (CLAUDE.md invariant)
+    assert '"record_schema":' in dlq_rows[0]["payload"]
+    assert "p4" not in dlq_rows[0]["payload"]
+
+
+def test_row_sink_loader_dlq_full_payload_opt_in(spark, tmp_path):
+    """with_object_logger('full') opts the SINK DLQ into whole-record payloads
+    too (required for redrive), matching EtlStream.run's policy."""
+    dlq = str(tmp_path / "sink_dlq_full")
+
+    def put_item(rec):
+        if rec["score"] == 4:
+            raise ValueError("conditional check failed on 4")
+
+    (
+        EtlStream.extract(_src(spark))
+        .with_object_logger("full")
+        .load(RowSinkLoader(put_item, dlq_path=dlq))
+        .run(spark)
+    )
+    dlq_rows = spark.read.parquet(dlq).collect()
+    assert len(dlq_rows) == 1
     assert '"name":"p4"' in dlq_rows[0]["payload"]
 
 

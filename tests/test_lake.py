@@ -107,6 +107,38 @@ def test_vacuum_manifest_retention_bounds_cursor(spark, tmp_table_path):
         table.vacuum(keep_versions=3, keep_manifests=2)
 
 
+def test_vacuum_aborts_on_missing_in_window_manifest(spark, tmp_table_path):
+    """A manifest missing INSIDE the readable window is metadata corruption:
+    vacuum must abort before any rmtree instead of silently dropping that
+    version's bucket dirs from the keep set (metadata loss must not become
+    data loss)."""
+    import pytest
+
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=2)
+    ev = _events(spark, n=600, keys=30).drop("ts", "extras")
+    for i, (lo, hi) in enumerate([(1, 200), (201, 400), (401, 600)]):
+        table.merge(ev.filter(f"lsn between {lo} and {hi}"), batch_id=i)
+    os.remove(os.path.join(tmp_table_path, "_manifests", "v000000000002.json"))
+    data_root = os.path.join(tmp_table_path, "data")
+    before = sorted(os.listdir(data_root))
+    with pytest.raises(ValueError, match="metadata corruption"):
+        table.vacuum(keep_versions=2)
+    assert sorted(os.listdir(data_root)) == before  # nothing was deleted
+
+
+def test_read_changes_rejects_future_to_version(spark, tmp_table_path):
+    """A to_version past HEAD is caller cursor-bookkeeping gone wrong — it must
+    raise as such, not masquerade as a pruned-manifest retention error that
+    sends the consumer into a pointless re-bootstrap."""
+    import pytest
+
+    table = ParquetLakeTable(spark, tmp_table_path, num_buckets=2)
+    ev = _events(spark, n=200, keys=20).drop("ts", "extras")
+    table.merge(ev, batch_id=0)
+    with pytest.raises(ValueError, match="ahead of the table"):
+        table.read_changes(0, to_version=999)
+
+
 def test_tombstone_blocks_late_lower_lsn(spark, tmp_table_path):
     """A delete's tombstone (kept with the delete's LSN) must prevent a
     late-arriving LOWER-LSN update from resurrecting the key — the streaming

@@ -148,6 +148,79 @@ def test_redrive_consumes_fluent_api_dlq(spark, tmp_path):
     assert_state_equals_oracle(table, dlq_events)
 
 
+def test_mixed_null_and_batch_ids_keep_cursor_fencing(spark, tmp_path):
+    """One null-batch-id (fluent) record in a DLQ directory must not strip the
+    watermark fence from the batch-carrying records beside it: re-driving the
+    mixed selection re-applies ONLY the cursor-less null-id rows, never the
+    already-consumed batches."""
+    events = gen_change_events(spark, n_events=1000, n_keys=50, seed=43)
+    table = ParquetLakeTable(spark, str(tmp_path / "t"), num_buckets=4)
+    dlq = str(tmp_path / "dlq")
+    apply_batch(_poison(events), table, batch_id=0, dlq_path=dlq, dlq_payload="full")
+
+    def fix(df):
+        return df.withColumn(
+            "op", F.when(F.col("op") == "X", F.lit("U")).otherwise(F.col("op"))
+        )
+
+    r1 = redrive(spark, dlq, table, fix=fix)
+    assert r1.merge.committed and r1.merge.batch_id == 0
+
+    # a fluent-API failure lands in the same directory with a NULL batch id
+    one = gen_change_events(spark, n_events=5, n_keys=5, seed=47).drop("ts", "extras").limit(1)
+    (
+        one.select(
+            F.lit(None).cast("long").alias("batch_id"),
+            F.lit("fluent").alias("stage"),
+            F.lit("boom").alias("error"),
+            F.to_json(F.struct(*one.columns)).alias("payload"),
+            F.current_timestamp().alias("ts"),
+        ).write.mode("append").parquet(dlq)
+    )
+
+    # mixed selection: the 100 batch-0 records are past the cursor and fenced
+    # out; only the single null-id record reaches the merge
+    r2 = redrive(spark, dlq, table)
+    assert r2.merge.committed
+    assert r2.rows_in == 1
+    assert r2.merge.batch_id == 1  # advanced past both max input and watermark
+
+    # re-running re-applies only the cursor-less row (documented), never batch 0
+    r3 = redrive(spark, dlq, table)
+    assert r3.rows_in == 1
+    assert r3.merge.batch_id == 2
+
+
+def test_read_dlq_consumes_mixed_legacy_and_unified_layouts(spark, tmp_path):
+    """A DLQ directory holding pre-unification fluent records
+    ((stream, error, payload, ts) — no batch_id/stage) beside unified-schema
+    records must stay consumable: mergeSchema + the legacy adapter map
+    stream→stage and null batch_id, instead of AnalysisException or silently
+    dropping legacy rows from the stage filter."""
+    dlq = str(tmp_path / "dlq")
+    ev = gen_change_events(spark, n_events=4, n_keys=4, seed=53).drop("ts", "extras")
+    legacy = ev.limit(1).select(
+        F.lit("cdc_fluent").alias("stream"),
+        F.lit("old boom").alias("error"),
+        F.to_json(F.struct(*ev.columns)).alias("payload"),
+        F.current_timestamp().alias("ts"),
+    )
+    unified = ev.limit(1).select(
+        F.lit(7).cast("long").alias("batch_id"),
+        F.lit("cdc_fluent").alias("stage"),
+        F.lit("new boom").alias("error"),
+        F.to_json(F.struct(*ev.columns)).alias("payload"),
+        F.current_timestamp().alias("ts"),
+    )
+    legacy.write.mode("append").parquet(dlq)
+    unified.write.mode("append").parquet(dlq)
+
+    got = read_dlq(spark, dlq, schema=ev.schema, stage="cdc_fluent").toPandas()
+    assert len(got) == 2  # both layouts selected by the stage filter
+    ids = sorted(got["_dlq_batch_id"], key=lambda x: (pd.isna(x), x))
+    assert ids[0] == 7 and pd.isna(ids[1])  # legacy rows are cursor-less
+
+
 def test_read_dlq_refuses_redacted_payloads(spark, tmp_path):
     events = gen_change_events(spark, n_events=500, n_keys=30, seed=31)
     table = ParquetLakeTable(spark, str(tmp_path / "t"), num_buckets=4)
